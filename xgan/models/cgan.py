@@ -1,0 +1,121 @@
+"""Conditional GAN (flax.linen), TPU-native NHWC.
+
+Architecture parity with reference src/cgan.py:14-116:
+
+Generator (cgan.py:14-60)
+    cond = Embedding(num_classes, latent)(label); x = z + cond   (:55-57)
+    fc: Linear(latent -> nf*8*S0*S0)                             (:24)
+    then BN+ReLU and 5 x [nearest-2x upsample, Conv3x3(s1,p1,bias)],
+    BN+ReLU between, tanh head; channels nf*8->nf*4->nf*2->nf->nf//2->C.
+
+Projection discriminator (cgan.py:62-113)
+    conv trunk like DCGAN's but WITH biases; after the final LeakyReLU the
+    (B,S0,S0,nf*8) feature map is flattened and dot-producted with
+    Embedding(num_classes, nf*8*S0*S0)(label); logit = final 1x1-equivalent
+    Conv(k=S0, valid) output + projection                        (:103-106).
+    ``features=True`` returns the 14 intermediate activations (after every
+    conv/BN/LeakyReLU before the final conv) for the feature-matching loss
+    (get_intermediate_features, cgan.py:108-113).
+
+Note: the reference's vestigial ``alpha`` progressive-growing argument is
+computed but never affects the forward pass (SURVEY.md §7 quirks); it is
+deliberately not reproduced.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from xgan.models.layers import (Conv, Dense, TorchBatchNorm, leaky_relu,
+                                normal_init, upsample_nearest_2x)
+
+
+class Generator(nn.Module):
+    latent_dim: int = 100
+    num_classes: int = 2
+    num_channels: int = 3
+    feature_maps: int = 32
+    image_size: int = 224
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, labels, *, train: bool):
+        """z: (B, latent); labels: (B,) int -> images (B, S, S, C)."""
+        assert self.image_size % 32 == 0
+        s0 = self.image_size // 32
+        nf = self.feature_maps
+
+        emb = self.param("label_emb", normal_init(1.0),
+                         (self.num_classes, self.latent_dim))
+        x = z + emb[labels]
+        x = Dense(nf * 8 * s0 * s0, dtype=self.dtype)(x)
+        x = x.reshape(x.shape[0], s0, s0, nf * 8)
+
+        x = TorchBatchNorm()(x, train=train)
+        x = nn.relu(x)
+        widths = [nf * 4, nf * 2, nf, nf // 2]
+        for w in widths:
+            x = upsample_nearest_2x(x)
+            x = Conv(w, kernel=3, stride=1, padding=1, use_bias=True,
+                     torch_bias=True, dtype=self.dtype)(x)
+            x = TorchBatchNorm()(x, train=train)
+            x = nn.relu(x)
+        x = upsample_nearest_2x(x)
+        x = Conv(self.num_channels, kernel=3, stride=1, padding=1,
+                 use_bias=True, torch_bias=True, dtype=self.dtype)(x)
+        return jnp.tanh(x.astype(jnp.float32))
+
+
+class Discriminator(nn.Module):
+    num_classes: int = 2
+    num_channels: int = 3
+    feature_maps: int = 32
+    image_size: int = 224
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, labels, *, train: bool, features: bool = False):
+        """x: (B, S, S, C), labels: (B,) int.
+
+        Returns logits (B,), or the list of 14 intermediate activations when
+        ``features=True`` (for the feature-matching loss).
+        """
+        assert self.image_size % 32 == 0
+        s0 = self.image_size // 32
+        nf = self.feature_maps
+        feats = []
+
+        def track(t):
+            feats.append(t)
+            return t
+
+        h = track(Conv(nf // 2, kernel=4, stride=2, padding=1, use_bias=True,
+                       torch_bias=True, dtype=self.dtype)(x))
+        h = track(leaky_relu(h))
+        for w in [nf, nf * 2, nf * 4, nf * 8]:
+            h = track(Conv(w, kernel=4, stride=2, padding=1, use_bias=True,
+                           torch_bias=True, dtype=self.dtype)(h))
+            h = track(TorchBatchNorm()(h, train=train))
+            h = track(leaky_relu(h))
+        if features:
+            return feats
+
+        # Projection: label embedding dotted with the flattened final
+        # feature map (reference cgan.py:67,:103-106). The flatten order
+        # differs from torch's CHW (we are HWC) — a fixed permutation of a
+        # learned embedding, hence equivalent.
+        flat = h.reshape(h.shape[0], -1).astype(jnp.float32)
+        emb = self.param("label_emb", normal_init(1.0),
+                         (self.num_classes, nf * 8 * s0 * s0))
+        proj = jnp.sum(emb[labels] * flat, axis=1)
+
+        out = Conv(1, kernel=s0, stride=1, padding=0, use_bias=True,
+                   torch_bias=True, dtype=self.dtype)(h)
+        return out.astype(jnp.float32).reshape(out.shape[0]) + proj
+
+
+# Reference aliases (cgan.py:115-116).
+ProgressiveGenerator = Generator
+ProgressiveDiscriminator = Discriminator

@@ -1,0 +1,105 @@
+"""ResNet-50 (flax.linen), torchvision-v1.5-compatible, NHWC.
+
+Replaces the reference classifier factory (reference src/classifier.py:5-33):
+``models.resnet50(IMAGENET1K_V1)`` with the final fc swapped for
+``Linear(2048, num_classes)``. Our module reproduces the torchvision graph
+exactly (bottleneck expansion 4, stride on the 3x3 conv — "v1.5") so that
+torchvision ImageNet checkpoints can be imported 1:1 via
+:func:`xgan.models.pretrained.load_torch_resnet50`.
+
+Freezing the base (reference classifier.py:19-21) is an optimizer-level
+concern here (optax.multi_transform in xgan.train.classifier); BatchNorm
+running statistics still update in train mode exactly as torch's do for a
+frozen-but-train()-mode backbone.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from xgan.ops.conv import conv2d
+from xgan.models.layers import Dense, TorchBatchNorm
+
+
+def _he_fan_out(key, shape, dtype=jnp.float32):
+    # torchvision: kaiming_normal_(mode="fan_out", nonlinearity="relu")
+    import jax
+    fan_out = shape[0] * shape[1] * shape[3]
+    std = (2.0 / fan_out) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        w = self.param("kernel", _he_fan_out,
+                       (self.kernel, self.kernel, x.shape[-1], self.features))
+        y = conv2d(x.astype(self.dtype), w.astype(self.dtype),
+                   stride=self.stride, padding=self.padding,
+                   preferred_dtype=jnp.float32).astype(self.dtype)
+        y = TorchBatchNorm(scale_init=nn.initializers.ones, name="bn")(
+            y, train=train)
+        return y
+
+
+class Bottleneck(nn.Module):
+    width: int        # the "planes" value; output channels = 4 * width
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        identity = x
+        out = nn.relu(_ConvBN(self.width, 1, dtype=self.dtype,
+                              name="conv1")(x, train=train))
+        out = nn.relu(_ConvBN(self.width, 3, stride=self.stride, padding=1,
+                              dtype=self.dtype, name="conv2")(out, train=train))
+        out = _ConvBN(self.width * 4, 1, dtype=self.dtype,
+                      name="conv3")(out, train=train)
+        if self.downsample:
+            identity = _ConvBN(self.width * 4, 1, stride=self.stride,
+                               dtype=self.dtype, name="downsample")(
+                                   x, train=train)
+        return nn.relu(out + identity)
+
+
+class ResNet50(nn.Module):
+    num_classes: int = 2
+    dtype: Any = jnp.float32
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, return_features: bool = False):
+        """x: (B, H, W, 3) -> logits (B, num_classes).
+
+        ``return_features=True`` additionally returns the layer4 output
+        (B, H/32, W/32, 2048) used by Grad-CAM (reference
+        analyze_results.py:466 targets model.layer4[-1].conv3; we expose the
+        post-activation stage output, the standard CAM target map).
+        """
+        x = nn.relu(_ConvBN(64, 7, stride=2, padding=3, dtype=self.dtype,
+                            name="stem")(x, train=train))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        widths = (64, 128, 256, 512)
+        for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            for b in range(blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                x = Bottleneck(width, stride=stride, downsample=(b == 0),
+                               dtype=self.dtype,
+                               name=f"layer{stage + 1}_{b}")(x, train=train)
+        features = x
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
+        if return_features:
+            return logits, features
+        return logits

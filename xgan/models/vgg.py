@@ -1,0 +1,64 @@
+"""VGG-16 feature prefix for the CGAN perceptual loss, NHWC.
+
+Mirrors the three frozen blocks used by the reference PerceptualLoss
+(reference src/train_cgan.py:57-73): torchvision ``vgg16().features`` slices
+``[:4]`` (-> relu1_2), ``[4:9]`` (-> relu2_2), ``[9:16]`` (-> relu3_3).
+The perceptual loss is the sum of MSEs between the block outputs of x and y.
+
+ImageNet weights are imported from a torchvision ``.pth`` when available
+(:func:`xgan.models.pretrained.load_torch_vgg16`); with no checkpoint the
+features are randomly initialized (random-feature perceptual losses are a
+known-working fallback) and a warning is printed by the trainer.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from xgan.ops.conv import conv2d
+
+
+class VGG16Features(nn.Module):
+    """Returns the (relu1_2, relu2_2, relu3_3) activations."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def conv(x, features, name):
+            w = self.param(f"{name}_kernel", nn.initializers.he_normal(),
+                           (3, 3, x.shape[-1], features))
+            b = self.param(f"{name}_bias", nn.initializers.zeros, (features,))
+            y = conv2d(x.astype(self.dtype), w.astype(self.dtype),
+                       stride=1, padding=1,
+                       preferred_dtype=jnp.float32).astype(self.dtype)
+            return nn.relu(y + b.astype(self.dtype))
+
+        def pool(x):
+            return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        x = conv(x, 64, "conv1_1")
+        x = conv(x, 64, "conv1_2")
+        f1 = x
+        x = pool(x)
+        x = conv(x, 128, "conv2_1")
+        x = conv(x, 128, "conv2_2")
+        f2 = x
+        x = pool(x)
+        x = conv(x, 256, "conv3_1")
+        x = conv(x, 256, "conv3_2")
+        x = conv(x, 256, "conv3_3")
+        f3 = x
+        return f1, f2, f3
+
+
+def perceptual_loss(vgg_apply, vgg_params, x, y):
+    """Sum of per-block MSEs, as in reference train_cgan.py:66-73."""
+    fx = vgg_apply(vgg_params, x)
+    fy = vgg_apply(vgg_params, y)
+    total = 0.0
+    for a, b in zip(fx, fy):
+        total = total + jnp.mean(
+            jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    return total
