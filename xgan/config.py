@@ -1,0 +1,86 @@
+"""Shared CLI flag definitions.
+
+The reference re-declares overlapping argparse flags in every script with
+per-script defaults (SURVEY.md §1); here one module owns the definitions and
+each entry point picks its defaults, keeping the exact flag names and
+default values of the corresponding reference script
+(train_gan.py:213-249, train_cgan.py:249-274, train_wggan.py:126-155,
+train_classifier.py:697-747, generate_synthetic*.py, analyze_results.py).
+
+TPU-native extra flags (accepted by every trainer):
+  --image-size      spatial size (default 224 = reference; 64 for the
+                    BASELINE.json CPU-runnable bench config)
+  --seed            deterministic PRNG seed (the reference is unseeded)
+  --compute-dtype   auto|bf16|f32 (auto: bf16 on TPU, f32 on CPU)
+  --cache-dir       decode-once uint8 store cache
+  --limit-batches   cap batches/epoch (smoke tests)
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def add_path_args(p: argparse.ArgumentParser):
+    p.add_argument("--data-dir", type=str, default="./data/processed",
+                   help="Path to the processed dataset directory")
+    p.add_argument("--model-dir", type=str, default="./models",
+                   help="Base directory to save model checkpoints")
+    p.add_argument("--output-dir", type=str, default="./results",
+                   help="Base directory for outputs")
+    p.add_argument("--results-dir", type=str, default="./results/metrics",
+                   help="Directory to save training history JSON")
+    p.add_argument("--figures-dir", type=str, default="./results/figures",
+                   help="Directory to save generated plot images")
+
+
+def add_gan_model_args(p: argparse.ArgumentParser, fm_default: int = 64):
+    p.add_argument("--num-channels", type=int, default=3)
+    p.add_argument("--latent-dim", type=int, default=100)
+    p.add_argument("--feature-maps-g", type=int, default=fm_default)
+    p.add_argument("--feature-maps-d", type=int, default=fm_default)
+
+
+def add_gan_train_args(p: argparse.ArgumentParser, *, epochs: int,
+                       batch_size: int, vis_batch_size: int = 64,
+                       save_interval: int = 500,
+                       checkpoint_interval: int = 10):
+    p.add_argument("--epochs", type=int, default=epochs)
+    p.add_argument("--batch-size", type=int, default=batch_size)
+    p.add_argument("--lr", type=float, default=0.0002)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--workers", type=int, default=4,
+                   help="(compat) host decode workers for the one-time "
+                        "store build; steady state is on-device")
+    p.add_argument("--vis-batch-size", type=int, default=vis_batch_size)
+    p.add_argument("--save-interval", type=int, default=save_interval)
+    p.add_argument("--checkpoint-interval", type=int,
+                   default=checkpoint_interval)
+
+
+def add_tpu_args(p: argparse.ArgumentParser):
+    p.add_argument("--image-size", type=int, default=224,
+                   help="Image size (multiple of 32; 224 = reference)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute-dtype", type=str, default="auto",
+                   choices=["auto", "bf16", "f32"])
+    p.add_argument("--cache-dir", type=str, default="./data/cache")
+    p.add_argument("--limit-batches", type=int, default=0,
+                   help="Debug: cap batches per epoch (0 = all)")
+    p.add_argument("--trace-dir", type=str, default="",
+                   help="Write a jax.profiler trace of one epoch here")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force CPU even if a TPU is available")
+
+
+def apply_device_flag(args):
+    """Honor --cpu before the first jax backend use."""
+    import jax
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
+
+
+def print_args(args):
+    print("--- Training Arguments ---")
+    for k, v in sorted(vars(args).items()):
+        print(f"  {k}: {v}")
+    print("-------------------------")

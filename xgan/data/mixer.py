@@ -1,0 +1,46 @@
+"""On-device curriculum mixer (the PhasedAugmentedDataset, TPU-style).
+
+Reference semantics (data_loader.py:447-539): epoch length = len(real);
+for each item an independent Bernoulli(ratio) draw decides whether to
+substitute a uniformly-random synthetic image (always labeled positive);
+``set_synthetic_ratio`` is called by the trainer each epoch
+(train_classifier.py:126-128).
+
+Here the same distribution is produced as one fused on-device select over
+a whole batch: a (B,) Bernoulli mask chooses between the real gather and a
+uniform gather from the synthetic store. ``ratio`` is a traced scalar, so
+changing it per epoch does NOT recompile the step.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
+              real_idx: jnp.ndarray,
+              synth_images_u8: jnp.ndarray, synth_labels: jnp.ndarray,
+              ratio: jnp.ndarray, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns a mixed uint8 batch and its labels.
+
+    real_images_u8: (N_r, S, S, 3) store; real_idx: (B,) this batch's rows.
+    synth_images_u8: (N_s, S, S, 3) store (non-empty).
+    ratio: scalar in [0,1] — expected synthetic fraction.
+    """
+    k_mask, k_pick = jax.random.split(key)
+    b = real_idx.shape[0]
+    use_synth = jax.random.uniform(k_mask, (b,)) < ratio
+    synth_idx = jax.random.randint(k_pick, (b,), 0,
+                                   synth_images_u8.shape[0])
+
+    real_batch = jnp.take(real_images_u8, real_idx, axis=0)
+    synth_batch = jnp.take(synth_images_u8, synth_idx, axis=0)
+    images = jnp.where(use_synth[:, None, None, None],
+                       synth_batch, real_batch)
+
+    real_lab = jnp.take(real_labels, real_idx, axis=0)
+    synth_lab = jnp.take(synth_labels, synth_idx, axis=0)
+    labels = jnp.where(use_synth, synth_lab, real_lab)
+    return images, labels

@@ -1,0 +1,110 @@
+"""Device-resident data pipeline: on-device gather + fused preprocessing.
+
+Replaces the reference's torchvision transform stack (data_loader.py:17-29:
+Resize(224) -> RandomHorizontalFlip -> ToTensor -> Normalize(ImageNet)) with
+an on-device path: the uint8 store lives in HBM; each step a (B,) int32
+index vector is the only host->device traffic. Gather, u8->f32, random
+horizontal flip, ImageNet normalization and the bf16 cast are one fused XLA
+program (the resize already happened once at store-build time — the
+reference's Resize is deterministic, so decode-once is semantics-preserving).
+
+All functions here are jit-safe and shard the produced batch over the mesh
+data axis via sharding constraints.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def epoch_batches(n: int, batch_size: int, rng: np.random.Generator,
+                  *, shuffle: bool = True,
+                  indices: Optional[np.ndarray] = None) -> np.ndarray:
+    """(num_batches, batch_size) int32 index matrix for one epoch.
+
+    ``indices`` restricts to a subset (k-fold splits). The tail batch is
+    padded by wrapping around the shuffled order so every batch has a
+    static shape (a jit requirement); num_batches = ceil(n/B), matching
+    the reference DataLoader's batch count per epoch.
+    """
+    idx = np.arange(n, dtype=np.int32) if indices is None \
+        else np.asarray(indices, np.int32)
+    n = idx.shape[0]
+    if shuffle:
+        idx = rng.permutation(idx).astype(np.int32)
+    num_batches = (n + batch_size - 1) // batch_size
+    padded = np.resize(idx, (num_batches * batch_size,))
+    return padded.reshape(num_batches, batch_size)
+
+
+def normalize_images(u8: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 (B,S,S,3) -> ImageNet-normalized images."""
+    x = u8.astype(jnp.float32) * (1.0 / 255.0)
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    return x.astype(dtype)
+
+
+def random_flip(u8: jnp.ndarray, key) -> jnp.ndarray:
+    """Per-sample random horizontal flip (p=0.5), on device."""
+    flip = jax.random.bernoulli(key, 0.5, (u8.shape[0],))
+    return jnp.where(flip[:, None, None, None], u8[:, :, ::-1, :], u8)
+
+
+def gather_preprocess(images_u8: jnp.ndarray, idx: jnp.ndarray, key,
+                      *, train: bool, dtype=jnp.float32,
+                      batch_sharding=None) -> jnp.ndarray:
+    """HBM store (N,S,S,3) u8 + (B,) idx -> normalized (B,S,S,3) batch.
+
+    Intended to be called inside a jitted step; when ``batch_sharding``
+    (a NamedSharding over the mesh data axis) is given, the gathered batch
+    is constrained to it so downstream conv work is data-parallel.
+    """
+    batch = jnp.take(images_u8, idx, axis=0)
+    if batch_sharding is not None:
+        batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+    if train:
+        batch = random_flip(batch, key)
+    return normalize_images(batch, dtype=dtype)
+
+
+def denormalize_to_unit(x: jnp.ndarray) -> jnp.ndarray:
+    """Invert ImageNet normalization back to [0,1] (clipped)."""
+    y = x.astype(jnp.float32) * IMAGENET_STD + IMAGENET_MEAN
+    return jnp.clip(y, 0.0, 1.0)
+
+
+def tanh_to_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """Generator output in [-1,1] -> uint8 via x*0.5+0.5.
+
+    This is the reference's synthetic-image export transform
+    (generate_synthetic.py:53) — preserved exactly, including the quirk
+    that training images were ImageNet-normalized while exports assume a
+    [-1,1] range (SURVEY.md §7 quirks).
+    """
+    y = jnp.clip(x.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+    return jnp.round(y * 255.0).astype(jnp.uint8)
+
+
+class DeviceStore:
+    """An ImageStore pushed to device HBM (replicated over the mesh)."""
+
+    def __init__(self, store, mesh_ctx=None):
+        self.size = store.size
+        self.labels_host = np.asarray(store.labels, np.int32)
+        imgs = np.ascontiguousarray(store.images)
+        labels = self.labels_host
+        if mesh_ctx is not None:
+            self.images = jax.device_put(imgs, mesh_ctx.replicated())
+            self.labels = jax.device_put(labels, mesh_ctx.replicated())
+        else:
+            self.images = jax.device_put(imgs)
+            self.labels = jax.device_put(labels)
+
+    def __len__(self) -> int:
+        return self.images.shape[0]

@@ -1,0 +1,190 @@
+"""DCGAN experiment orchestration (the role of reference train_gan.py:48-210).
+
+Flow: data availability check -> decode-once uint8 store -> device mesh ->
+jitted fused step -> epoch loop with on-device metrics -> sample sheets,
+checkpoints, history JSON (reference schema) and the loss figure.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xgan.data import rsna
+from xgan.data.pipeline import DeviceStore, epoch_batches
+from xgan.data.store import ImageStore
+from xgan.io_.checkpoint import save_variables
+from xgan.io_.figures import plot_gan_losses, save_image_grid
+from xgan.io_.metrics import write_json
+from xgan.models import dcgan
+from xgan.parallel import create_mesh
+from xgan.train.common import adam, create_state
+from xgan.train.gan import make_dcgan_step, make_sampler
+from xgan.utils import StepTimer, check_create_dir
+
+
+def resolve_dtype(name: str):
+    if name == "auto":
+        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+            "f32": jnp.float32, "float32": jnp.float32}[name]
+
+
+def load_train_store(data_dir: str, image_size: int, cache_dir: str):
+    if not rsna.check_dataset_availability(data_dir):
+        raise FileNotFoundError(
+            f"Dataset not available in {data_dir}. "
+            "Run `python src/download_dataset.py` first.")
+    ids, labels = rsna.load_train_metadata(
+        os.path.join(data_dir, "stage2_train_metadata.csv"))
+    paths = rsna.train_paths(data_dir, ids)
+    print(f"Decoding/loading {len(paths)} training images at "
+          f"{image_size}px (cached)...")
+    return ImageStore.build(paths, labels, image_size, cache_dir=cache_dir,
+                            name=f"train{image_size}")
+
+
+def train_dcgan(args):
+    """args: namespace with the reference train_gan.py flag surface
+    (data_dir, model_dir, output_dir, results_dir, figures_dir,
+    num_channels, latent_dim, feature_maps_g, feature_maps_d, epochs,
+    batch_size, lr, beta1, workers, vis_batch_size, save_interval,
+    checkpoint_interval, cpu) + TPU-native extras (image_size, seed,
+    compute_dtype, cache_dir, limit_batches, trace_dir)."""
+    gan_model_dir = check_create_dir(os.path.join(args.model_dir, "gan"))
+    gan_output_dir = check_create_dir(
+        os.path.join(args.output_dir, "gan_images"))
+    metrics_dir = check_create_dir(args.results_dir)
+    figures_dir = check_create_dir(args.figures_dir)
+
+    try:
+        store = load_train_store(args.data_dir, args.image_size,
+                                 args.cache_dir)
+    except FileNotFoundError as e:
+        print(f"Error: {e}")
+        return None
+    print(f"Loaded training data with {len(store)} samples.")
+
+    mesh_ctx = create_mesh()
+    n_dev = mesh_ctx.n_data
+    batch_size = mesh_ctx.pad_batch(args.batch_size)
+    if batch_size != args.batch_size:
+        print(f"Note: batch size {args.batch_size} -> {batch_size} "
+              f"(multiple of {n_dev} devices)")
+    dtype = resolve_dtype(args.compute_dtype)
+    print(f"Mesh: {mesh_ctx.mesh.shape}; compute dtype {dtype.__name__}")
+
+    device_store = DeviceStore(store, mesh_ctx)
+
+    g_model = dcgan.Generator(latent_dim=args.latent_dim,
+                              num_channels=args.num_channels,
+                              feature_maps=args.feature_maps_g,
+                              image_size=args.image_size, dtype=dtype)
+    d_model = dcgan.Discriminator(num_channels=args.num_channels,
+                                  feature_maps=args.feature_maps_d,
+                                  image_size=args.image_size, dtype=dtype)
+
+    g_tx = adam(args.lr, args.beta1)
+    d_tx = adam(args.lr, args.beta1)
+    root_key = jax.random.key(args.seed)
+    k_g, k_d, k_fix, k_data = jax.random.split(root_key, 4)
+    g_state = create_state(g_model, g_tx, k_g,
+                           jnp.zeros((2, args.latent_dim)), train=False)
+    d_state = create_state(
+        d_model, d_tx, k_d,
+        jnp.zeros((2, args.image_size, args.image_size, args.num_channels)),
+        train=False)
+    g_state = mesh_ctx.replicate(g_state)
+    d_state = mesh_ctx.replicate(d_state)
+    print("Generator and Discriminator initialized.")
+
+    step_fn = make_dcgan_step(g_model, d_model, g_tx, d_tx,
+                              latent_dim=args.latent_dim, dtype=dtype,
+                              batch_sharding=mesh_ctx.batch_sharding(4))
+    fixed_noise = jax.random.normal(
+        k_fix, (args.vis_batch_size, args.latent_dim), jnp.float32)
+
+    def sample_grid(path):
+        imgs = g_model.apply(g_state.variables(), fixed_noise, train=False)
+        from xgan.data.pipeline import tanh_to_u8
+        save_image_grid(np.asarray(jax.device_get(tanh_to_u8(imgs))), path,
+                        nrow=8)
+
+    history = {"G_losses_iter": [], "D_losses_iter": [], "D_x_iter": [],
+               "D_G_z1_iter": [], "D_G_z2_iter": [],
+               "G_losses_epoch": [], "D_losses_epoch": []}
+
+    data_rng = np.random.default_rng(args.seed)
+    iters = 0
+    timer = StepTimer()
+    start_time = time.time()
+    print("Starting Training Loop...")
+
+    for epoch in range(args.epochs):
+        epoch_start = time.time()
+        batches = epoch_batches(len(store), batch_size, data_rng)
+        if args.limit_batches:
+            batches = batches[:args.limit_batches]
+        num_batches = batches.shape[0]
+        epoch_metrics = []
+
+        for i in range(num_batches):
+            idx = jnp.asarray(batches[i])
+            step_key = jax.random.fold_in(k_data, iters)
+            g_state, d_state, metrics = step_fn(
+                g_state, d_state, device_store.images, idx, step_key)
+            epoch_metrics.append(metrics)
+
+            if (iters % args.save_interval == 0) or (
+                    epoch == args.epochs - 1 and i == num_batches - 1):
+                sample_grid(os.path.join(
+                    gan_output_dir,
+                    f"fake_samples_epoch_{epoch + 1:03d}_"
+                    f"iter_{iters:06d}.png"))
+            iters += 1
+
+        # One device->host sync per epoch for all per-iter metrics.
+        em = np.asarray(jax.device_get(jnp.stack(epoch_metrics)))
+        timer.tick(num_batches)
+        history["G_losses_iter"].extend(em[:, 0].tolist())
+        history["D_losses_iter"].extend(em[:, 1].tolist())
+        history["D_x_iter"].extend(em[:, 2].tolist())
+        history["D_G_z1_iter"].extend(em[:, 3].tolist())
+        history["D_G_z2_iter"].extend(em[:, 4].tolist())
+        history["G_losses_epoch"].append(float(em[:, 0].mean()))
+        history["D_losses_epoch"].append(float(em[:, 1].mean()))
+
+        print(f"Epoch {epoch + 1}/{args.epochs} Summary - "
+              f"Time: {time.time() - epoch_start:.2f}s, "
+              f"Avg Loss_D: {em[:, 1].mean():.4f}, "
+              f"Avg Loss_G: {em[:, 0].mean():.4f}, "
+              f"{timer.rate * batch_size:.1f} imgs/s")
+
+        if ((epoch + 1) % args.checkpoint_interval == 0
+                or (epoch + 1) == args.epochs):
+            save_variables(os.path.join(
+                gan_model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
+                g_state.variables())
+            save_variables(os.path.join(
+                gan_model_dir,
+                f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
+                d_state.variables())
+            print(f"Saved checkpoints for epoch {epoch + 1} "
+                  f"to {gan_model_dir}")
+
+    print(f"Training finished in {time.time() - start_time:.2f} seconds.")
+    save_variables(os.path.join(gan_model_dir, "generator_final.msgpack"),
+                   g_state.variables())
+    save_variables(os.path.join(gan_model_dir,
+                                "discriminator_final.msgpack"),
+                   d_state.variables())
+    print(f"Saved final models to {gan_model_dir}")
+
+    write_json(os.path.join(metrics_dir, "gan_training_history.json"),
+               history)
+    plot_gan_losses(history,
+                    os.path.join(figures_dir, "gan_loss_curve.png"))
+    return history
