@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Generate synthetic images from a trained conditional GAN — sharded
+TPU inference (CLI-compatible with reference src/generate_synthetic_cgan.py).
+
+Labels are sampled uniformly at random, matching the reference's actual
+behavior (generate_synthetic_cgan.py:44; its README's
+--num-images-per-class flag never existed in code — SURVEY.md §7 quirks).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Generate synthetic images using a trained conditional "
+                    "GAN generator (sharded TPU inference).")
+    p.add_argument("--model-path", type=str, required=True,
+                   help="Trained generator checkpoint "
+                        "(e.g. models/gan/generator_final.msgpack)")
+    p.add_argument("--output-dir", type=str, default="./data/synthetic")
+    p.add_argument("--num-images", type=int, default=5000)
+    p.add_argument("--latent-dim", type=int, default=100)
+    p.add_argument("--feature-maps-g", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
+    from xgan import config
+    config.apply_device_flag(args)
+    import jax.numpy as jnp
+    from xgan.models import cgan
+    from xgan.train.sample import generate_images, load_generator
+
+    model = cgan.Generator(latent_dim=args.latent_dim,
+                           feature_maps=args.feature_maps_g,
+                           image_size=args.image_size)
+    variables = load_generator(
+        model, args.model_path,
+        (jnp.zeros((2, args.latent_dim)),
+         jnp.zeros((2,), jnp.int32)))
+    generate_images(model, variables, output_dir=args.output_dir,
+                    num_images=args.num_images, latent_dim=args.latent_dim,
+                    batch_size=args.batch_size, seed=args.seed,
+                    conditional=True, num_classes=2)
+
+
+if __name__ == "__main__":
+    main()

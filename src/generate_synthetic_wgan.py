@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Generate synthetic images from a trained WGAN-GP generator — sharded
+TPU inference (CLI-compatible with reference src/generate_synthetic_wgan.py)."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Generate synthetic images using a trained WGAN-GP "
+                    "generator (sharded TPU inference).")
+    p.add_argument("--model-path", type=str, required=True,
+                   help="Trained generator checkpoint "
+                        "(e.g. models/wgan/generator_final.msgpack)")
+    p.add_argument("--output-dir", type=str, default="./data/synthetic")
+    p.add_argument("--num-images", type=int, default=5000)
+    p.add_argument("--latent-dim", type=int, default=100)
+    p.add_argument("--feature-maps-g", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
+    from xgan import config
+    config.apply_device_flag(args)
+    import jax.numpy as jnp
+    from xgan.models import wgan
+    from xgan.train.sample import generate_images, load_generator
+
+    model = wgan.Generator(latent_dim=args.latent_dim,
+                           feature_maps=args.feature_maps_g,
+                           image_size=args.image_size)
+    variables = load_generator(model, args.model_path,
+                               (jnp.zeros((2, args.latent_dim)),))
+    generate_images(model, variables, output_dir=args.output_dir,
+                    num_images=args.num_images, latent_dim=args.latent_dim,
+                    batch_size=args.batch_size, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

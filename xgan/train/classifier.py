@@ -1,0 +1,136 @@
+"""Classifier train/eval steps: jitted cross-entropy fine-tuning of
+ResNet-50 with the three augmentation strategies as on-device batch sources.
+
+Replaces the reference hot loop (train_classifier.py:136-166): a single
+jitted step fuses gather (real store / virtual-concat real+synthetic /
+curriculum Bernoulli mix), flip+normalize, the forward/backward and the
+optimizer update. Per-sample losses and predictions stay on device and are
+fetched once per epoch.
+
+Base-freezing (reference classifier.py:19-21 via --unfreeze) is an
+optax.multi_transform: only ``fc`` receives updates; BatchNorm running
+statistics still advance in train mode, exactly like a frozen torch
+backbone in ``model.train()``.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from xgan.data.mixer import mix_batch
+from xgan.data.pipeline import gather_preprocess, normalize_images, random_flip
+from xgan.train.common import ModelState, apply_updates
+
+
+def classifier_optimizer(lr: float, freeze_base: bool):
+    """Adam over all params, or fc-only when the base is frozen."""
+    inner = optax.adam(lr, eps=1e-8)
+    if not freeze_base:
+        return inner
+
+    def label_fn(params):
+        return {k: ("train" if k == "fc" else "freeze") for k in params}
+    return optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, label_fn)
+
+
+def softmax_ce(logits, labels):
+    """Per-sample CE, matching torch nn.CrossEntropyLoss reduction='none'."""
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels)
+
+
+def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx):
+    """Virtual ConcatDataset gather: idx < n_real -> real, else synthetic.
+
+    Mirrors ConcatDataset([real_subset, synthetic]) ordering
+    (data_loader.py:575,:642) without materializing a combined array.
+    """
+    n_real = real_u8.shape[0]
+    is_real = idx < n_real
+    r_idx = jnp.where(is_real, idx, 0)
+    s_idx = jnp.where(is_real, 0, idx - n_real)
+    imgs = jnp.where(is_real[:, None, None, None],
+                     jnp.take(real_u8, r_idx, axis=0),
+                     jnp.take(synth_u8, s_idx, axis=0))
+    labels = jnp.where(is_real, jnp.take(real_labels, r_idx, axis=0),
+                       jnp.take(synth_labels, s_idx, axis=0))
+    return imgs, labels
+
+
+def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
+                    batch_sharding=None):
+    """mode: 'real' | 'concat' | 'mix'.
+
+    step(state, real_u8, real_labels, synth_u8, synth_labels, idx, ratio,
+    key) -> (state, per_sample_loss (B,), preds (B,), labels (B,)).
+    For 'real' and 'concat' the ratio argument is ignored.
+    """
+    def assemble(real_u8, real_labels, synth_u8, synth_labels, idx,
+                 ratio, key):
+        if mode == "real":
+            imgs = jnp.take(real_u8, idx, axis=0)
+            labels = jnp.take(real_labels, idx, axis=0)
+        elif mode == "concat":
+            imgs, labels = gather_concat(real_u8, real_labels, synth_u8,
+                                         synth_labels, idx)
+        elif mode == "mix":
+            imgs, labels = mix_batch(real_u8, real_labels, idx, synth_u8,
+                                     synth_labels, ratio, key)
+        else:
+            raise ValueError(mode)
+        return imgs, labels
+
+    def step(state: ModelState, real_u8, real_labels, synth_u8,
+             synth_labels, idx, ratio, key):
+        k_mix, k_flip = jax.random.split(key)
+        imgs_u8, labels = assemble(real_u8, real_labels, synth_u8,
+                                   synth_labels, idx, ratio, k_mix)
+        if batch_sharding is not None:
+            imgs_u8 = jax.lax.with_sharding_constraint(imgs_u8,
+                                                       batch_sharding)
+        imgs_u8 = random_flip(imgs_u8, k_flip)
+        imgs = normalize_images(imgs_u8, dtype=dtype)
+
+        def loss_fn(params):
+            logits, upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, mutable=["batch_stats"])
+            losses = softmax_ce(logits, labels)
+            return jnp.mean(losses), (losses, logits, upd["batch_stats"])
+
+        (_, (losses, logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = apply_updates(tx, state, grads, new_stats)
+        preds = jnp.argmax(logits, axis=-1)
+        return state, losses, preds, labels
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model, *, dtype=jnp.float32, batch_sharding=None):
+    """Eval: running-stats BN, no flip. Returns (per-sample loss, preds)."""
+    def step(variables, images_u8, idx, labels_all):
+        imgs_u8 = jnp.take(images_u8, idx, axis=0)
+        labels = jnp.take(labels_all, idx, axis=0)
+        if batch_sharding is not None:
+            imgs_u8 = jax.lax.with_sharding_constraint(imgs_u8,
+                                                       batch_sharding)
+        imgs = normalize_images(imgs_u8, dtype=dtype)
+        logits = model.apply(variables, imgs, train=False)
+        return softmax_ce(logits, labels), jnp.argmax(logits, -1), labels
+
+    return jax.jit(step)
+
+
+def weighted_prf(labels, preds) -> Tuple[float, float, float]:
+    """Weighted precision/recall/F1 via sklearn (host-side, tiny) —
+    bit-identical to the reference's metric call
+    (train_classifier.py:239)."""
+    from sklearn.metrics import precision_recall_fscore_support
+    p, r, f, _ = precision_recall_fscore_support(
+        labels, preds, average="weighted", zero_division=0)
+    return float(p), float(r), float(f)

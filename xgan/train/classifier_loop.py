@@ -1,0 +1,339 @@
+"""ResNet-50 fine-tuning orchestration: strategies x k-fold CV
+(role of reference train_classifier.py:66-203 and :515-694).
+
+Strategies (naming parity with train_classifier.py:108,:547):
+- baseline    real data only
+- augmented   real + all synthetic, concatenated (ConcatDataset semantics)
+- curriculum  real-length epochs with per-item Bernoulli(ratio) synthetic
+              substitution, ratio stepped per epoch by the schedule
+
+K-fold splits use sklearn KFold(shuffle=True, random_state=42) — the same
+splitter and seed as data_loader.py:239 — so fold membership matches the
+reference exactly. Best-val-accuracy checkpointing, history JSON, the CV
+summary and all figures keep the reference filenames and schemas.
+
+Known reference bug NOT reproduced: its single-run --use-synthetic path
+crashes with a NameError (train_classifier.py:670 uses an undefined
+``dataloaders``); here the single augmented run trains on real+synthetic
+with the test set as validation.
+"""
+from __future__ import annotations
+
+import copy
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from sklearn.metrics import accuracy_score
+from sklearn.model_selection import KFold
+
+from xgan.data import rsna
+from xgan.data.pipeline import DeviceStore, epoch_batches
+from xgan.data.store import ImageStore, decode_folder_store
+from xgan.io_.checkpoint import save_variables
+from xgan.io_.figures_classifier import generate_plots
+from xgan.io_.metrics import cv_summary, write_json
+from xgan.models.resnet import ResNet50
+from xgan.parallel import create_mesh
+from xgan.train.classifier import (classifier_optimizer, make_eval_step,
+                                   make_train_step, weighted_prf)
+from xgan.train.common import ModelState
+from xgan.train.curriculum import (get_current_synthetic_ratio,
+                                   parse_curriculum_schedule)
+from xgan.train.gan_loop import load_train_store, resolve_dtype
+from xgan.utils import check_create_dir
+
+KFOLD_SEED = 42  # split parity with reference data_loader.py:239
+
+
+def _init_resnet(args, dtype, rng):
+    model = ResNet50(num_classes=2, dtype=dtype)
+    variables = model.init(
+        rng, jnp.zeros((2, args.image_size, args.image_size, 3)),
+        train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    pretrained = getattr(args, "pretrained_path", "")
+    if pretrained:
+        from xgan.models.pretrained import load_torch_resnet50
+        loaded_p, loaded_s = load_torch_resnet50(pretrained)
+        fc = params["fc"]
+        params = jax.tree_util.tree_map(jnp.asarray, loaded_p)
+        if "fc" not in params:
+            params["fc"] = fc
+        stats = jax.tree_util.tree_map(jnp.asarray, loaded_s)
+        print(f"Loaded ImageNet weights from {pretrained}")
+    else:
+        print("WARNING: no --pretrained-path given and torchvision weights "
+              "cannot be downloaded here; training ResNet-50 from random "
+              "init (throughput is unaffected; accuracy parity with the "
+              "reference requires the ImageNet checkpoint).")
+    return model, params, stats
+
+
+def _epoch_pass(step_fn, state, device_stores, batches, ratio, key,
+                n_samples):
+    """Run one train phase; returns (state, loss, acc) with the wrap-around
+    padding rows dropped (flattened[:n] is exactly the epoch permutation)."""
+    losses_acc, preds_acc, labels_acc = [], [], []
+    real, synth = device_stores
+    for i in range(batches.shape[0]):
+        state, losses, preds, labels = step_fn(
+            state, real.images, real.labels, synth.images, synth.labels,
+            jnp.asarray(batches[i]), ratio, jax.random.fold_in(key, i))
+        losses_acc.append(losses)
+        preds_acc.append(preds)
+        labels_acc.append(labels)
+    losses = np.concatenate(jax.device_get(losses_acc))[:n_samples]
+    preds = np.concatenate(jax.device_get(preds_acc))[:n_samples]
+    labels = np.concatenate(jax.device_get(labels_acc))[:n_samples]
+    return state, float(losses.mean()), float(accuracy_score(labels, preds))
+
+
+def _eval_pass(eval_fn, variables, store: DeviceStore, batches, n_samples):
+    losses_acc, preds_acc, labels_acc = [], [], []
+    for i in range(batches.shape[0]):
+        losses, preds, labels = eval_fn(variables, store.images,
+                                        jnp.asarray(batches[i]),
+                                        store.labels)
+        losses_acc.append(losses)
+        preds_acc.append(preds)
+        labels_acc.append(labels)
+    losses = np.concatenate(jax.device_get(losses_acc))[:n_samples]
+    preds = np.concatenate(jax.device_get(preds_acc))[:n_samples]
+    labels = np.concatenate(jax.device_get(labels_acc))[:n_samples]
+    return losses, preds, labels
+
+
+def evaluate_model(eval_fn, variables, store: DeviceStore, batch_size,
+                   rng=None):
+    """Test-set metrics dict (keys as in train_classifier.py:241-247)."""
+    n = len(store)
+    batches = epoch_batches(n, batch_size, np.random.default_rng(0),
+                            shuffle=False)
+    losses, preds, labels = _eval_pass(eval_fn, variables, store, batches, n)
+    p, r, f = weighted_prf(labels, preds)
+    metrics = {
+        "loss": float(losses.mean()),
+        "accuracy": float(accuracy_score(labels, preds)),
+        "weighted_precision": p,
+        "weighted_recall": r,
+        "weighted_f1_score": f,
+    }
+    print(f"Evaluation Results - Loss: {metrics['loss']:.4f}, "
+          f"Accuracy: {metrics['accuracy']:.4f}, "
+          f"Weighted F1: {metrics['weighted_f1_score']:.4f}")
+    return metrics
+
+
+def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
+                  *, fold, strategy, schedule, seed_offset=0):
+    """Train one model (one fold or the single run).
+
+    val_spec: (DeviceStore, indices or None) evaluated with eval transforms.
+    Returns (best_variables, history).
+    """
+    real_dev, synth_dev, _ = stores
+    mode = {"baseline": "real", "augmented": "concat",
+            "curriculum": "mix"}[strategy]
+
+    rng = jax.random.key(args.seed + seed_offset)
+    k_init, k_train = jax.random.split(rng)
+    model, params, stats = _init_resnet(args, dtype, k_init)
+    tx = classifier_optimizer(args.lr, freeze_base=not args.unfreeze)
+    state = ModelState(params=params, batch_stats=stats,
+                       opt_state=tx.init(params))
+    state = mesh_ctx.replicate(state)
+
+    bsh = mesh_ctx.batch_sharding(4)
+    train_step = make_train_step(model, tx, mode=mode, dtype=dtype,
+                                 batch_sharding=bsh)
+    eval_step = make_eval_step(model, dtype=dtype, batch_sharding=bsh)
+
+    batch_size = mesh_ctx.pad_batch(args.batch_size)
+    n_real = len(real_dev)
+    if strategy == "augmented":
+        epoch_space = np.concatenate([
+            np.asarray(train_indices, np.int64),
+            n_real + np.arange(len(synth_dev), dtype=np.int64)])
+    else:
+        epoch_space = np.asarray(train_indices, np.int64)
+
+    val_store, val_indices = val_spec
+    n_val = len(val_indices) if val_indices is not None else len(val_store)
+
+    fold_prefix = f"fold_{fold}_" if fold is not None else ""
+    run_prefix = f"{fold_prefix}{strategy}_"
+    history = {"epoch": [], "train_loss": [], "train_acc": [],
+               "val_loss": [], "val_acc": [], "synthetic_ratio": []}
+    best_acc, best_vars = 0.0, jax.device_get(
+        {"params": state.params, "batch_stats": state.batch_stats})
+    data_rng = np.random.default_rng(args.seed + seed_offset)
+
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        ratio = 0.0
+        if strategy == "curriculum" and schedule:
+            ratio = get_current_synthetic_ratio(epoch, schedule)
+        elif strategy == "augmented":
+            ratio = 1.0  # flag value mirroring train_classifier.py:130
+        history["epoch"].append(epoch + 1)
+        history["synthetic_ratio"].append(
+            ratio if strategy == "curriculum" else
+            (1.0 if strategy == "augmented" else 0.0))
+
+        batches = epoch_batches(len(epoch_space), batch_size, data_rng,
+                                indices=epoch_space)
+        if args.limit_batches:
+            batches = batches[:args.limit_batches]
+        n_seen = min(len(epoch_space), batches.size)
+        state, tr_loss, tr_acc = _epoch_pass(
+            train_step, state, (real_dev, synth_dev), batches,
+            jnp.float32(ratio), jax.random.fold_in(k_train, epoch), n_seen)
+        history["train_loss"].append(tr_loss)
+        history["train_acc"].append(tr_acc)
+
+        val_batches = epoch_batches(
+            n_val, batch_size, data_rng, shuffle=False,
+            indices=val_indices)
+        if args.limit_batches:
+            val_batches = val_batches[:args.limit_batches]
+            n_val_seen = min(n_val, val_batches.size)
+        else:
+            n_val_seen = n_val
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        v_losses, v_preds, v_labels = _eval_pass(
+            eval_step, variables, val_store, val_batches, n_val_seen)
+        val_loss = float(v_losses.mean())
+        val_acc = float(accuracy_score(v_labels, v_preds))
+        history["val_loss"].append(val_loss)
+        history["val_acc"].append(val_acc)
+
+        print(f"Epoch {epoch + 1}/{args.epochs} "
+              f"[{run_prefix[:-1]}] ratio={ratio:.2f} "
+              f"train {tr_loss:.4f}/{tr_acc:.4f} "
+              f"val {val_loss:.4f}/{val_acc:.4f} "
+              f"({time.time() - t0:.1f}s)")
+
+        if val_acc > best_acc:
+            best_acc = val_acc
+            best_vars = jax.device_get(variables)
+            ckpt = os.path.join(args.model_dir, f"{run_prefix}resnet50.msgpack")
+            save_variables(ckpt, best_vars)
+            print(f"Saved best model checkpoint to {ckpt}")
+
+    write_json(os.path.join(args.results_dir,
+                            f"{run_prefix}training_history.json"), history)
+    print(f"Best val Acc: {best_acc:.4f}")
+    return best_vars, history
+
+
+def train_classifier(args):
+    """Top-level flow (reference train_classifier.py:515-694)."""
+    check_create_dir(args.model_dir)
+    check_create_dir(args.results_dir)
+    check_create_dir(args.figures_dir)
+
+    schedule = None
+    if args.use_curriculum:
+        if not args.use_synthetic:
+            print("Warning: --use-curriculum specified without "
+                  "--use-synthetic. Curriculum schedule ignored.")
+            args.use_curriculum = False
+        else:
+            schedule = parse_curriculum_schedule(args.curriculum_schedule)
+            print(f"Parsed curriculum schedule: {schedule}")
+            if not schedule:
+                print("Warning: empty schedule; using simple augmentation.")
+                args.use_curriculum = False
+
+    strategy = ("curriculum" if args.use_synthetic and args.use_curriculum
+                and schedule else
+                ("augmented" if args.use_synthetic else "baseline"))
+    run_prefix = f"{strategy}_"
+    is_cv = args.k_folds > 1
+
+    # --- Data ---
+    try:
+        train_store = load_train_store(args.data_dir, args.image_size,
+                                       args.cache_dir)
+    except FileNotFoundError as e:
+        print(f"Error loading data: {e}")
+        return None
+    test_ids, test_labels = rsna.load_test_metadata(
+        os.path.join(args.data_dir, "stage2_test_metadata.csv"))
+    test_store = ImageStore.build(
+        rsna.test_paths(args.data_dir, test_ids), test_labels,
+        args.image_size, cache_dir=args.cache_dir,
+        name=f"test{args.image_size}")
+
+    if args.use_synthetic:
+        if (not os.path.isdir(args.synthetic_dir)
+                or not os.listdir(args.synthetic_dir)):
+            print(f"Error loading data: synthetic dir {args.synthetic_dir} "
+                  "is empty or missing. Generate images first.")
+            return None
+        synth_store = decode_folder_store(
+            args.synthetic_dir, args.image_size, label=1,
+            cache_dir=args.cache_dir, name=f"synth{args.image_size}")
+    else:  # 1-image dummy store keeps step signatures static
+        synth_store = ImageStore(
+            images=np.zeros((1, args.image_size, args.image_size, 3),
+                            np.uint8),
+            labels=np.ones((1,), np.int32), size=args.image_size)
+
+    mesh_ctx = create_mesh()
+    dtype = resolve_dtype(args.compute_dtype)
+    print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
+          f"{dtype.__name__}; strategy {strategy}; k_folds {args.k_folds}")
+    real_dev = DeviceStore(train_store, mesh_ctx)
+    synth_dev = DeviceStore(synth_store, mesh_ctx)
+    test_dev = DeviceStore(test_store, mesh_ctx)
+    stores = (real_dev, synth_dev, test_dev)
+
+    eval_model = ResNet50(num_classes=2, dtype=dtype)
+    eval_step = make_eval_step(eval_model, dtype=dtype,
+                               batch_sharding=mesh_ctx.batch_sharding(4))
+    batch_size = mesh_ctx.pad_batch(args.batch_size)
+
+    if is_cv:
+        kf = KFold(n_splits=args.k_folds, shuffle=True,
+                   random_state=KFOLD_SEED)
+        fold_metrics, fold_histories = [], []
+        for fold, (tr_idx, val_idx) in enumerate(
+                kf.split(range(len(train_store)))):
+            print(f"\n===== Fold {fold + 1} / {args.k_folds} =====")
+            best_vars, history = train_one_run(
+                args, mesh_ctx, dtype, stores, tr_idx,
+                (real_dev, val_idx), fold=fold + 1, strategy=strategy,
+                schedule=schedule, seed_offset=fold)
+            fold_histories.append(history)
+            print(f"--- Evaluating Fold {fold + 1} Model on Test Set ---")
+            metrics = evaluate_model(eval_step, best_vars, test_dev,
+                                     batch_size)
+            fold_metrics.append(metrics)
+
+        summary = cv_summary(fold_metrics)
+        print("\n===== Cross-Validation Summary =====")
+        for k, v in summary["average"].items():
+            print(f"Average {k}: {v:.4f} +/- {summary['std_dev'][k]:.4f}")
+        write_json(os.path.join(args.results_dir,
+                                f"{run_prefix}cv_summary.json"), summary)
+        generate_plots(fold_histories, args.figures_dir, run_prefix,
+                       cv_results=summary)
+        return summary
+
+    # Single run: test set doubles as validation (reference behavior,
+    # train_classifier.py:592-594).
+    print("Warning: using test set as validation for non-CV run.")
+    best_vars, history = train_one_run(
+        args, mesh_ctx, dtype, stores, np.arange(len(train_store)),
+        (test_dev, None), fold=None, strategy=strategy, schedule=schedule)
+    metrics = evaluate_model(eval_step, best_vars, test_dev, batch_size)
+    write_json(os.path.join(args.results_dir,
+                            f"{run_prefix}final_metrics.json"),
+               {"config": vars(args), "metrics": metrics})
+    generate_plots([history], args.figures_dir, run_prefix)
+    return metrics

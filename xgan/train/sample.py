@@ -1,0 +1,109 @@
+"""Sharded synthetic-image generation (role of reference
+generate_synthetic{,_cgan,_wgan}.py).
+
+The reference samples sequentially on one device and saves PNGs inline
+(generate_synthetic.py:38-59, SURVEY.md §3.3). Here sampling is a jitted
+program with the batch sharded over the mesh data axis — on a v5e-8 slice
+the eight chips each generate a shard — and only the final uint8 images
+cross to the host, where they are PNG-encoded and written as
+``synthetic_00001.png`` ... exactly like the reference (:54). The export
+transform is the reference's ``x*0.5+0.5`` (:53), applied on device.
+
+Eval-mode BN (running statistics) mirrors ``netG.eval()`` (:34).
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xgan.data.pipeline import tanh_to_u8
+from xgan.io_.checkpoint import load_variables
+from xgan.parallel import create_mesh
+from xgan.utils import StepTimer, check_create_dir
+
+
+def load_generator(model, path: str, example_args, example_kwargs=None):
+    """Init the model for structure, then load a .msgpack checkpoint."""
+    example_kwargs = example_kwargs or {}
+    like = model.init(jax.random.key(0), *example_args, train=False,
+                      **example_kwargs)
+    like = {"params": like["params"],
+            "batch_stats": like.get("batch_stats", {})}
+    if not os.path.exists(path):
+        print(f"Error: Generator model not found at {path}")
+        sys.exit(1)
+    try:
+        return load_variables(path, like)
+    except Exception as e:
+        print(f"Error loading generator checkpoint: {e}")
+        print("Ensure the model flags (--latent-dim/--feature-maps-g/"
+              "--image-size) match training.")
+        sys.exit(1)
+
+
+def generate_images(model, variables, *, output_dir: str, num_images: int,
+                    latent_dim: int, batch_size: int, seed: int = 0,
+                    conditional: bool = False, num_classes: int = 2,
+                    name_offset: int = 0) -> int:
+    """Sample num_images and write PNGs; returns the count written."""
+    check_create_dir(output_dir)
+    mesh_ctx = create_mesh()
+    batch = mesh_ctx.pad_batch(batch_size)
+    variables = mesh_ctx.replicate(variables)
+    zspec = jax.sharding.NamedSharding(
+        mesh_ctx.mesh, jax.sharding.PartitionSpec("data", None))
+
+    if conditional:
+        def sample(vs, key):
+            kz, kl = jax.random.split(key)
+            z = jax.random.normal(kz, (batch, latent_dim), jnp.float32)
+            z = jax.lax.with_sharding_constraint(z, zspec)
+            labels = jax.random.randint(kl, (batch,), 0, num_classes)
+            return tanh_to_u8(model.apply(vs, z, labels, train=False))
+    else:
+        def sample(vs, key):
+            z = jax.random.normal(key, (batch, latent_dim), jnp.float32)
+            z = jax.lax.with_sharding_constraint(z, zspec)
+            return tanh_to_u8(model.apply(vs, z, train=False))
+
+    sample = jax.jit(sample)
+    root = jax.random.key(seed)
+    written = 0
+    timer = StepTimer()
+    print(f"Generating {num_images} synthetic images "
+          f"(batch {batch}, mesh {dict(mesh_ctx.mesh.shape)})...")
+    step = 0
+    pending = None  # overlap device compute with host PNG encode
+    while written < num_images:
+        imgs_dev = sample(variables, jax.random.fold_in(root, step))
+        step += 1
+        if pending is not None:
+            written = _write_pngs(pending, output_dir, written, num_images,
+                                  name_offset)
+        pending = np.asarray(jax.device_get(imgs_dev))
+        timer.tick(batch)
+    if pending is not None and written < num_images:
+        written = _write_pngs(pending, output_dir, written, num_images,
+                              name_offset)
+    print(f"Finished generating {written} images in {output_dir} "
+          f"({timer.rate:.1f} imgs/s device-side)")
+    return written
+
+
+def _write_pngs(images: np.ndarray, output_dir: str, written: int,
+                num_images: int, name_offset: int) -> int:
+    from PIL import Image
+    for img in images:
+        if written >= num_images:
+            break
+        written += 1
+        Image.fromarray(img).save(os.path.join(
+            output_dir, f"synthetic_{name_offset + written:05d}.png"))
+    if written % 1000 < images.shape[0]:
+        print(f"Generated {min(written, num_images)}/{num_images} images...")
+    return written
