@@ -1,0 +1,132 @@
+"""WGAN-GP training: n_critic inner loop + gradient-penalty double-backward
+in ONE jitted XLA program.
+
+Reference semantics (train_wggan.py:66-94, wggan.py:72-89):
+- per data batch: ``critic_iters`` critic updates on the SAME real batch
+  with fresh noise each, then one generator update;
+- critic loss = -E[D(real)] + E[D(fake)] + λ·E[(‖∇_x D(x̂)‖₂ − 1)²] with
+  x̂ = α·real + (1−α)·fake, α ~ U(0,1) per sample;
+- the penalty's double backward (torch ``create_graph=True``,
+  wggan.py:79-86) is expressed as an outer jax.grad over a loss containing
+  an inner jax.grad — XLA fuses forward, inner backward, and outer backward
+  into a single program (the BASELINE.json north-star requirement);
+- Adam betas (β1, 0.9) (train_wggan.py:53-54);
+- BN policy: the critic keeps its reference BatchNorm layers and the GP
+  pass uses train-mode batch statistics of the interpolated batch, exactly
+  like the reference's train-mode module call (documented decision for
+  SURVEY.md §7 hard part No.1).
+
+The inner critic loop is a lax.scan with both ModelStates as carry, so the
+whole (n critic updates + 1 G update) iteration is one device program with
+zero host round-trips.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from xgan.data.pipeline import gather_preprocess
+from xgan.train.common import ModelState, apply_updates
+
+
+def gradient_penalty(apply_fn, real, fake, key, lambda_gp: float = 10.0):
+    """λ·mean((‖∇_x apply_fn(x̂)‖₂ − 1)²) with per-sample α interpolation.
+
+    ``apply_fn(x) -> (scores (B,), aux)``; differentiable in x and in any
+    parameters it closes over (the double-backward case). Returns (gp, aux)
+    where aux comes from the interpolated-batch forward.
+    """
+    b = real.shape[0]
+    alpha = jax.random.uniform(key, (b, 1, 1, 1), jnp.float32)
+    inter = alpha * real + (1.0 - alpha) * fake
+
+    def scalar_fn(x):
+        scores, aux = apply_fn(x)
+        return jnp.sum(scores), aux
+
+    grads, aux = jax.grad(scalar_fn, has_aux=True)(inter)
+    norms = jnp.sqrt(jnp.sum(
+        jnp.square(grads.astype(jnp.float32).reshape(b, -1)), axis=1)
+        + 1e-12)
+    gp = lambda_gp * jnp.mean(jnp.square(norms - 1.0))
+    return gp, aux
+
+
+def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
+                   critic_iters: int, lambda_gp: float,
+                   dtype=jnp.float32, batch_sharding=None,
+                   donate: bool = True):
+    """Returns jitted step(g_state, c_state, images_u8, idx, key) ->
+    (g_state, c_state, d_losses (critic_iters,), g_loss)."""
+
+    def step(g_state: ModelState, c_state: ModelState, images_u8, idx, key):
+        k_flip, k_critic, k_g = jax.random.split(key, 3)
+        real = gather_preprocess(images_u8, idx, k_flip, train=True,
+                                 dtype=dtype, batch_sharding=batch_sharding)
+
+        def critic_update(carry, key_i):
+            g_st, c_st = carry
+            k_noise, k_alpha = jax.random.split(key_i)
+
+            # Train-mode G forward (advances G BN stats, as the
+            # reference's netG(noise) inside the critic loop does,
+            # train_wggan.py:77).
+            noise = jax.random.normal(
+                k_noise, (real.shape[0], latent_dim), jnp.float32)
+            fake, g_upd = g_model.apply(
+                g_st.variables(), noise, train=True,
+                mutable=["batch_stats"])
+            g_st = g_st.replace(batch_stats=g_upd["batch_stats"])
+            fake = jax.lax.stop_gradient(fake)
+
+            def c_loss_fn(c_params):
+                d_real, upd1 = c_model.apply(
+                    {"params": c_params, "batch_stats": c_st.batch_stats},
+                    real, train=True, mutable=["batch_stats"])
+                d_fake, upd2 = c_model.apply(
+                    {"params": c_params,
+                     "batch_stats": upd1["batch_stats"]},
+                    fake, train=True, mutable=["batch_stats"])
+
+                def critic_on(x):
+                    scores, upd3 = c_model.apply(
+                        {"params": c_params,
+                         "batch_stats": upd2["batch_stats"]},
+                        x, train=True, mutable=["batch_stats"])
+                    return scores, upd3["batch_stats"]
+
+                gp, stats3 = gradient_penalty(critic_on, real, fake,
+                                              k_alpha, lambda_gp)
+                loss = -jnp.mean(d_real) + jnp.mean(d_fake) + gp
+                return loss, stats3
+
+            (d_loss, new_stats), grads = jax.value_and_grad(
+                c_loss_fn, has_aux=True)(c_st.params)
+            c_st = apply_updates(c_tx, c_st, grads, new_stats)
+            return (g_st, c_st), d_loss
+
+        critic_keys = jax.random.split(k_critic, critic_iters)
+        (g_state, c_state), d_losses = jax.lax.scan(
+            critic_update, (g_state, c_state), critic_keys)
+
+        noise = jax.random.normal(k_g, (idx.shape[0], latent_dim),
+                                  jnp.float32)
+
+        def g_loss_fn(g_params):
+            fake, g_upd = g_model.apply(
+                {"params": g_params, "batch_stats": g_state.batch_stats},
+                noise, train=True, mutable=["batch_stats"])
+            scores, c_upd = c_model.apply(
+                c_state.variables(), fake, train=True,
+                mutable=["batch_stats"])
+            return -jnp.mean(scores), (g_upd["batch_stats"],
+                                       c_upd["batch_stats"])
+
+        (g_loss, (g_stats, c_stats)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_state.params)
+        g_state = apply_updates(g_tx, g_state, g_grads, g_stats)
+        c_state = c_state.replace(batch_stats=c_stats)
+        return g_state, c_state, d_losses, g_loss
+
+    donate_args = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)

@@ -1,0 +1,146 @@
+"""WGAN-GP experiment orchestration (role of reference train_wggan.py:29-124).
+
+Outputs: models/wgan/* checkpoints, results/wgan_images/* sample sheets,
+wgan_training_history.json (keys D_losses, G_losses, D_losses_epoch,
+G_losses_epoch — train_wggan.py:57) and wgan_loss_curve.png.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xgan.data.pipeline import DeviceStore, epoch_batches, tanh_to_u8
+from xgan.io_.checkpoint import save_variables
+from xgan.io_.figures import plot_wgan_losses, save_image_grid
+from xgan.io_.metrics import write_json
+from xgan.models import wgan
+from xgan.parallel import create_mesh
+from xgan.train.common import adam, create_state
+from xgan.train.gan_loop import load_train_store, resolve_dtype
+from xgan.train.wgan import make_wgan_step
+from xgan.utils import StepTimer, check_create_dir
+
+
+def train_wgan(args):
+    model_dir = check_create_dir(os.path.join(args.model_dir, "wgan"))
+    image_dir = check_create_dir(os.path.join(args.output_dir,
+                                              "wgan_images"))
+    metrics_dir = check_create_dir(args.results_dir)
+    figures_dir = check_create_dir(args.figures_dir)
+
+    try:
+        store = load_train_store(args.data_dir, args.image_size,
+                                 args.cache_dir)
+    except FileNotFoundError as e:
+        print(f"Error: {e}")
+        return None
+
+    mesh_ctx = create_mesh()
+    batch_size = mesh_ctx.pad_batch(args.batch_size)
+    dtype = resolve_dtype(args.compute_dtype)
+    print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
+          f"{dtype.__name__}; critic_iters {args.critic_iters}; "
+          f"lambda_gp {args.lambda_gp}")
+    device_store = DeviceStore(store, mesh_ctx)
+
+    g_model = wgan.Generator(latent_dim=args.latent_dim,
+                             num_channels=args.num_channels,
+                             feature_maps=args.feature_maps_g,
+                             image_size=args.image_size, dtype=dtype)
+    c_model = wgan.Critic(num_channels=args.num_channels,
+                          feature_maps=args.feature_maps_d,
+                          image_size=args.image_size, dtype=dtype)
+
+    # Adam betas (beta1, 0.9) — reference train_wggan.py:53-54.
+    g_tx = adam(args.lr, args.beta1, beta2=0.9)
+    c_tx = adam(args.lr, args.beta1, beta2=0.9)
+    root_key = jax.random.key(args.seed)
+    k_g, k_c, k_fix, k_data = jax.random.split(root_key, 4)
+    g_state = create_state(g_model, g_tx, k_g,
+                           jnp.zeros((2, args.latent_dim)), train=False)
+    c_state = create_state(
+        c_model, c_tx, k_c,
+        jnp.zeros((2, args.image_size, args.image_size, args.num_channels)),
+        train=False)
+    g_state = mesh_ctx.replicate(g_state)
+    c_state = mesh_ctx.replicate(c_state)
+
+    step_fn = make_wgan_step(g_model, c_model, g_tx, c_tx,
+                             latent_dim=args.latent_dim,
+                             critic_iters=args.critic_iters,
+                             lambda_gp=args.lambda_gp, dtype=dtype,
+                             batch_sharding=mesh_ctx.batch_sharding(4))
+    fixed_noise = jax.random.normal(
+        k_fix, (args.vis_batch_size, args.latent_dim), jnp.float32)
+
+    def sample_grid(path):
+        imgs = g_model.apply(g_state.variables(), fixed_noise, train=False)
+        save_image_grid(np.asarray(jax.device_get(tanh_to_u8(imgs))), path,
+                        nrow=8)
+
+    history = {"D_losses": [], "G_losses": [], "D_losses_epoch": [],
+               "G_losses_epoch": []}
+    data_rng = np.random.default_rng(args.seed)
+    iters = 0
+    timer = StepTimer()
+
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        batches = epoch_batches(len(store), batch_size, data_rng)
+        if args.limit_batches:
+            batches = batches[:args.limit_batches]
+        num_batches = batches.shape[0]
+        d_acc, g_acc = [], []
+
+        for i in range(num_batches):
+            idx = jnp.asarray(batches[i])
+            g_state, c_state, d_losses, g_loss = step_fn(
+                g_state, c_state, device_store.images, idx,
+                jax.random.fold_in(k_data, iters))
+            d_acc.append(d_losses)
+            g_acc.append(g_loss)
+
+            if (iters % args.save_interval == 0) or (
+                    epoch == args.epochs - 1 and i == num_batches - 1):
+                sample_grid(os.path.join(
+                    image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                               f"iter_{iters:06d}.png"))
+            iters += 1
+
+        d_ep = np.concatenate(jax.device_get(
+            [jnp.asarray(x) for x in d_acc]))
+        g_ep = np.asarray(jax.device_get(jnp.stack(g_acc)))
+        timer.tick(num_batches)
+        history["D_losses"].extend(d_ep.tolist())
+        history["G_losses"].extend(g_ep.tolist())
+        history["D_losses_epoch"].append(float(d_ep.mean()))
+        history["G_losses_epoch"].append(float(g_ep.mean()))
+        print(f"Epoch {epoch + 1}/{args.epochs} Summary - "
+              f"Time: {time.time() - t0:.2f}s, "
+              f"Avg Loss_D: {d_ep.mean():.4f}, "
+              f"Avg Loss_G: {g_ep.mean():.4f}, "
+              f"{timer.rate * batch_size:.1f} imgs/s")
+
+        if ((epoch + 1) % args.checkpoint_interval == 0
+                or (epoch + 1) == args.epochs):
+            save_variables(os.path.join(
+                model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
+                g_state.variables())
+            save_variables(os.path.join(
+                model_dir, f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
+                c_state.variables())
+
+    save_variables(os.path.join(model_dir, "generator_final.msgpack"),
+                   g_state.variables())
+    save_variables(os.path.join(model_dir, "discriminator_final.msgpack"),
+                   c_state.variables())
+    print("Saved final models.")
+    write_json(os.path.join(metrics_dir, "wgan_training_history.json"),
+               history)
+    plot_wgan_losses(history,
+                     os.path.join(figures_dir, "wgan_loss_curve.png"))
+    return history
