@@ -76,11 +76,13 @@ def test_cgan_shapes_and_features():
     logits = d.apply(dv, img, labels, train=False)
     assert logits.shape == (4,)
 
-    feats = d.apply(dv, img, labels, train=False, features=True)
+    logits_f, feats = d.apply(dv, img, labels, train=False, features=True)
     # 14 tracked activations: 5 convs + 4 BNs + 5 LeakyReLUs
     # (reference cgan.py:108-113 iterates main[:-1])
     assert len(feats) == 14
     assert feats[-1].shape == (4, 2, 2, 64)  # S0=2 at 64px, nf*8=64
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_resnet50_shapes():

@@ -79,8 +79,13 @@ class Discriminator(nn.Module):
     def __call__(self, x, labels, *, train: bool, features: bool = False):
         """x: (B, S, S, C), labels: (B,) int.
 
-        Returns logits (B,), or the list of 14 intermediate activations when
-        ``features=True`` (for the feature-matching loss).
+        Returns logits (B,), or ``(logits, feats)`` when ``features=True``
+        where feats are the 14 intermediate activations used by the
+        feature-matching loss. The reference computes features in a second
+        trunk pass (get_intermediate_features, cgan.py:108-113); here one
+        pass yields both — same values, one less forward (the only
+        observable difference is one fewer BN running-stat update per
+        batch, and CGAN's discriminator running stats are never consumed).
         """
         assert self.image_size % 32 == 0
         s0 = self.image_size // 32
@@ -99,8 +104,6 @@ class Discriminator(nn.Module):
                            torch_bias=True, dtype=self.dtype)(h))
             h = track(TorchBatchNorm()(h, train=train))
             h = track(leaky_relu(h))
-        if features:
-            return feats
 
         # Projection: label embedding dotted with the flattened final
         # feature map (reference cgan.py:67,:103-106). The flatten order
@@ -113,7 +116,10 @@ class Discriminator(nn.Module):
 
         out = Conv(1, kernel=s0, stride=1, padding=0, use_bias=True,
                    torch_bias=True, dtype=self.dtype)(h)
-        return out.astype(jnp.float32).reshape(out.shape[0]) + proj
+        logits = out.astype(jnp.float32).reshape(out.shape[0]) + proj
+        if features:
+            return logits, feats
+        return logits
 
 
 # Reference aliases (cgan.py:115-116).

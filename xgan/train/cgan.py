@@ -1,0 +1,136 @@
+"""Conditional-GAN training step: adversarial + perceptual +
+feature-matching losses with the adaptive discriminator gate, fused into
+one jitted program.
+
+Reference semantics (train_cgan.py:111-193):
+- BCE-with-logits with two-sided noisy label smoothing: per-sample real
+  targets 0.9 − 0.1·U(0,1), fake targets 0.1 + 0.1·U(0,1) (:156-160);
+- adaptive D updates: the D optimizer step is applied only when
+  D(x) < 0.8 or D(G(z)) > 0.2 or epoch < 5 (:176-178) — here a lax.cond
+  on device scalars (gradients are always computed, keeping the program
+  static; BN running stats advance regardless, as in the reference);
+- G loss = adv + 10·perceptual(VGG16 blocks) + 5·feature-matching over the
+  14 intermediate D activations (:184-191); the VGG consumes the raw
+  generator/real images with no re-normalization (reference quirk kept);
+- fake labels are uniform-random classes (:167).
+
+The reference's vestigial alpha/progressive-resolution schedule is
+computed-but-unused there (SURVEY.md §7 quirks) and is not reproduced.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from xgan.data.pipeline import gather_preprocess
+from xgan.models.vgg import perceptual_loss
+from xgan.train.common import ModelState, apply_updates
+
+PERCEPTUAL_WEIGHT = 10.0
+FM_WEIGHT = 5.0
+NUM_CLASSES = 2
+
+
+def _bce_per_target(logits, targets):
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(
+        logits.astype(jnp.float32), targets))
+
+
+def feature_matching_loss(real_feats, fake_feats):
+    """Sum of per-layer MSEs (reference train_cgan.py:75-76)."""
+    total = 0.0
+    for a, b in zip(real_feats, fake_feats):
+        total = total + jnp.mean(jnp.square(
+            a.astype(jnp.float32) - b.astype(jnp.float32)))
+    return total
+
+
+def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
+                   latent_dim: int, dtype=jnp.float32,
+                   batch_sharding=None, donate: bool = True):
+    """Returns jitted step(g_state, d_state, vgg_params, images_u8,
+    labels_all, idx, epoch, key) -> (g_state, d_state, metrics[7]) with
+    metrics = [loss_G, loss_D, D_x, D_G_z1, D_G_z2, perceptual, fm]."""
+
+    def step(g_state: ModelState, d_state: ModelState, vgg_params,
+             images_u8, labels_all, idx, epoch, key):
+        k_flip, k_noise, k_lab, k_rs, k_fs = jax.random.split(key, 5)
+        real = gather_preprocess(images_u8, idx, k_flip, train=True,
+                                 dtype=dtype, batch_sharding=batch_sharding)
+        real_labels = jnp.take(labels_all, idx, axis=0)
+        b = idx.shape[0]
+
+        real_targets = 0.9 - 0.1 * jax.random.uniform(k_rs, (b,))
+        fake_targets = 0.1 + 0.1 * jax.random.uniform(k_fs, (b,))
+
+        noise = jax.random.normal(k_noise, (b, latent_dim), jnp.float32)
+        fake_labels = jax.random.randint(k_lab, (b,), 0, NUM_CLASSES)
+
+        def g_forward(g_params):
+            fake, upd = g_model.apply(
+                {"params": g_params, "batch_stats": g_state.batch_stats},
+                noise, fake_labels, train=True, mutable=["batch_stats"])
+            return fake, upd["batch_stats"]
+
+        fake, g_vjp, g_stats_new = jax.vjp(g_forward, g_state.params,
+                                           has_aux=True)
+
+        # --- Discriminator loss/grads (always computed; applied via gate).
+        def d_loss_fn(d_params):
+            logits_real, upd1 = d_model.apply(
+                {"params": d_params, "batch_stats": d_state.batch_stats},
+                real, real_labels, train=True, mutable=["batch_stats"])
+            logits_fake, upd2 = d_model.apply(
+                {"params": d_params, "batch_stats": upd1["batch_stats"]},
+                fake, fake_labels, train=True, mutable=["batch_stats"])
+            loss = (_bce_per_target(logits_real, real_targets)
+                    + _bce_per_target(logits_fake, fake_targets))
+            d_x = jnp.mean(jax.nn.sigmoid(logits_real))
+            d_g_z1 = jnp.mean(jax.nn.sigmoid(logits_fake))
+            return loss, (upd2["batch_stats"], d_x, d_g_z1)
+
+        (loss_d, (d_stats2, d_x, d_g_z1)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_state.params)
+
+        # Adaptive gate (train_cgan.py:176-178): BN stats always advance;
+        # params/optimizer only when the gate is open.
+        gate = jnp.logical_or(jnp.logical_or(d_x < 0.8, d_g_z1 > 0.2),
+                              epoch < 5)
+        updated = apply_updates(d_tx, d_state, d_grads, d_stats2)
+        skipped = d_state.replace(batch_stats=d_stats2)
+        d_state = jax.lax.cond(gate, lambda: updated, lambda: skipped)
+
+        # --- Generator loss through the (possibly) updated D.
+        def g_loss_wrt_fake(fake_images):
+            (logits, fake_feats), upd3 = d_model.apply(
+                {"params": d_state.params,
+                 "batch_stats": d_state.batch_stats},
+                fake_images, fake_labels, train=True, features=True,
+                mutable=["batch_stats"])
+            (_, real_feats), upd4 = d_model.apply(
+                {"params": d_state.params,
+                 "batch_stats": upd3["batch_stats"]},
+                real, real_labels, train=True, features=True,
+                mutable=["batch_stats"])
+            adv = _bce_per_target(logits, real_targets)
+            perc = perceptual_loss(
+                lambda p, x: vgg_model.apply({"params": p}, x),
+                vgg_params, fake_images, real)
+            fm = feature_matching_loss(real_feats, fake_feats)
+            loss = adv + PERCEPTUAL_WEIGHT * perc + FM_WEIGHT * fm
+            d_g_z2 = jnp.mean(jax.nn.sigmoid(logits))
+            return loss, (upd4["batch_stats"], d_g_z2, perc, fm)
+
+        (loss_g, (d_stats4, d_g_z2, perc, fm)), fake_grad = \
+            jax.value_and_grad(g_loss_wrt_fake, has_aux=True)(fake)
+        g_grads = g_vjp(fake_grad)[0]
+        g_state = apply_updates(g_tx, g_state, g_grads, g_stats_new)
+        d_state = d_state.replace(batch_stats=d_stats4)
+
+        metrics = jnp.stack([loss_g, loss_d, d_x, d_g_z1, d_g_z2,
+                             perc, fm])
+        return g_state, d_state, metrics
+
+    donate_args = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)

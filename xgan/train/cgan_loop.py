@@ -1,0 +1,198 @@
+"""CGAN experiment orchestration (role of reference train_cgan.py:78-247).
+
+Deviations from the reference, both documented in SURVEY.md §7 quirks:
+- outputs go to models/cgan/, results/cgan_images/,
+  cgan_training_history.json and cgan_loss_curve.png — the per-GAN-type
+  layout the reference README documents; the reference code instead
+  collides with the DCGAN's models/gan/ + gan_training_history.json
+  (train_cgan.py:82,:238);
+- the history's per-iteration keys are actually populated (the reference
+  declares them but never appends, leaving empty lists);
+- the vestigial progressive-resolution/alpha schedule (computed but never
+  applied, train_cgan.py:132-144) is not reproduced.
+
+VGG-16 perceptual weights load from --vgg-path when given; otherwise the
+loss uses randomly-initialized VGG features with a warning (no network
+egress for torchvision downloads here).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xgan.data.pipeline import DeviceStore, epoch_batches, tanh_to_u8
+from xgan.io_.checkpoint import save_variables
+from xgan.io_.figures import plot_cgan_losses, save_image_grid
+from xgan.io_.metrics import write_json
+from xgan.models import cgan
+from xgan.models.vgg import VGG16Features
+from xgan.parallel import create_mesh
+from xgan.train.cgan import make_cgan_step
+from xgan.train.common import adam, create_state
+from xgan.train.gan_loop import load_train_store, resolve_dtype
+from xgan.utils import StepTimer, check_create_dir
+
+NUM_CLASSES = 2
+
+
+def _init_vgg(args, dtype, rng):
+    model = VGG16Features(dtype=dtype)
+    size = min(args.image_size, 64)
+    variables = model.init(rng, jnp.zeros((1, size, size, 3)))
+    params = variables["params"]
+    vgg_path = getattr(args, "vgg_path", "")
+    if vgg_path:
+        from xgan.models.pretrained import load_torch_vgg16
+        params = jax.tree_util.tree_map(jnp.asarray,
+                                        load_torch_vgg16(vgg_path))
+        print(f"Loaded VGG16 ImageNet weights from {vgg_path}")
+    else:
+        print("WARNING: no --vgg-path given; perceptual loss uses "
+              "randomly-initialized VGG features (random-feature perceptual "
+              "losses still provide a training signal, but quality parity "
+              "with the reference needs the ImageNet checkpoint).")
+    return model, params
+
+
+def train_cgan(args):
+    model_dir = check_create_dir(os.path.join(args.model_dir, "cgan"))
+    image_dir = check_create_dir(os.path.join(args.output_dir,
+                                              "cgan_images"))
+    metrics_dir = check_create_dir(args.results_dir)
+    figures_dir = check_create_dir(args.figures_dir)
+
+    try:
+        store = load_train_store(args.data_dir, args.image_size,
+                                 args.cache_dir)
+    except FileNotFoundError as e:
+        print(f"Error: {e}")
+        return None
+
+    mesh_ctx = create_mesh()
+    batch_size = mesh_ctx.pad_batch(args.batch_size)
+    dtype = resolve_dtype(args.compute_dtype)
+    print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
+          f"{dtype.__name__}")
+    device_store = DeviceStore(store, mesh_ctx)
+
+    g_model = cgan.Generator(latent_dim=args.latent_dim,
+                             num_classes=NUM_CLASSES,
+                             num_channels=args.num_channels,
+                             feature_maps=args.feature_maps_g,
+                             image_size=args.image_size, dtype=dtype)
+    d_model = cgan.Discriminator(num_classes=NUM_CLASSES,
+                                 num_channels=args.num_channels,
+                                 feature_maps=args.feature_maps_d,
+                                 image_size=args.image_size, dtype=dtype)
+
+    g_tx = adam(args.lr, args.beta1)
+    d_tx = adam(args.lr, args.beta1)
+    root_key = jax.random.key(args.seed)
+    k_g, k_d, k_v, k_fix, k_data = jax.random.split(root_key, 5)
+    ex_labels = jnp.zeros((2,), jnp.int32)
+    g_state = create_state(g_model, g_tx, k_g,
+                           jnp.zeros((2, args.latent_dim)), ex_labels,
+                           train=False)
+    d_state = create_state(
+        d_model, d_tx, k_d,
+        jnp.zeros((2, args.image_size, args.image_size,
+                   args.num_channels)), ex_labels, train=False)
+    vgg_model, vgg_params = _init_vgg(args, dtype, k_v)
+    g_state = mesh_ctx.replicate(g_state)
+    d_state = mesh_ctx.replicate(d_state)
+    vgg_params = mesh_ctx.replicate(vgg_params)
+
+    step_fn = make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx,
+                             latent_dim=args.latent_dim, dtype=dtype,
+                             batch_sharding=mesh_ctx.batch_sharding(4))
+
+    fixed_noise = jax.random.normal(
+        k_fix, (args.vis_batch_size, args.latent_dim), jnp.float32)
+    fixed_labels = jnp.asarray(
+        np.tile(np.arange(NUM_CLASSES),
+                args.vis_batch_size // NUM_CLASSES + 1)
+        [:args.vis_batch_size].astype(np.int32))
+
+    def sample_grid(path):
+        imgs = g_model.apply(g_state.variables(), fixed_noise,
+                             fixed_labels, train=False)
+        save_image_grid(np.asarray(jax.device_get(tanh_to_u8(imgs))), path,
+                        nrow=8)
+
+    history = {"G_losses_iter": [], "D_losses_iter": [], "D_x_iter": [],
+               "D_G_z1_iter": [], "D_G_z2_iter": [], "G_losses_epoch": [],
+               "D_losses_epoch": [], "perceptual_losses": [],
+               "feature_matching_losses": []}
+    data_rng = np.random.default_rng(args.seed)
+    iters = 0
+    timer = StepTimer()
+    start = time.time()
+
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        batches = epoch_batches(len(store), batch_size, data_rng)
+        if args.limit_batches:
+            batches = batches[:args.limit_batches]
+        num_batches = batches.shape[0]
+        epoch_metrics = []
+
+        for i in range(num_batches):
+            idx = jnp.asarray(batches[i])
+            g_state, d_state, metrics = step_fn(
+                g_state, d_state, vgg_params, device_store.images,
+                device_store.labels, idx, jnp.int32(epoch),
+                jax.random.fold_in(k_data, iters))
+            epoch_metrics.append(metrics)
+
+            if (iters % args.save_interval == 0) or (
+                    epoch == args.epochs - 1 and i == num_batches - 1):
+                sample_grid(os.path.join(
+                    image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                               f"iter_{iters:06d}.png"))
+            iters += 1
+
+        em = np.asarray(jax.device_get(jnp.stack(epoch_metrics)))
+        timer.tick(num_batches)
+        history["G_losses_iter"].extend(em[:, 0].tolist())
+        history["D_losses_iter"].extend(em[:, 1].tolist())
+        history["D_x_iter"].extend(em[:, 2].tolist())
+        history["D_G_z1_iter"].extend(em[:, 3].tolist())
+        history["D_G_z2_iter"].extend(em[:, 4].tolist())
+        history["G_losses_epoch"].append(float(em[:, 0].mean()))
+        history["D_losses_epoch"].append(float(em[:, 1].mean()))
+        history["perceptual_losses"].append(float(em[:, 5].mean()))
+        history["feature_matching_losses"].append(float(em[:, 6].mean()))
+
+        print(f"Epoch {epoch + 1}/{args.epochs} Summary - "
+              f"Time: {time.time() - t0:.2f}s, "
+              f"Avg Loss_D: {em[:, 1].mean():.4f}, "
+              f"Avg Loss_G: {em[:, 0].mean():.4f}, "
+              f"{timer.rate * batch_size:.1f} imgs/s")
+
+        if ((epoch + 1) % args.checkpoint_interval == 0
+                or (epoch + 1) == args.epochs):
+            save_variables(os.path.join(
+                model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
+                g_state.variables())
+            save_variables(os.path.join(
+                model_dir,
+                f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
+                d_state.variables())
+            print(f"Saved checkpoints for epoch {epoch + 1} to {model_dir}")
+
+    print(f"Training finished in {time.time() - start:.2f} seconds.")
+    save_variables(os.path.join(model_dir, "generator_final.msgpack"),
+                   g_state.variables())
+    save_variables(os.path.join(model_dir, "discriminator_final.msgpack"),
+                   d_state.variables())
+    print(f"Saved final models to {model_dir}")
+
+    write_json(os.path.join(metrics_dir, "cgan_training_history.json"),
+               history)
+    plot_cgan_losses(history,
+                     os.path.join(figures_dir, "cgan_loss_curve.png"))
+    return history
