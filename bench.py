@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: fused DCGAN train step at 64x64 (BASELINE.json config #1).
+
+Times the full fused training iteration (on-device batch gather +
+flip/normalize + D update + G update — everything the reference does per
+iteration in train_gan.py:119-150) on the default backend and prints ONE
+JSON line:
+
+  {"metric": ..., "value": imgs/sec, "unit": "imgs/sec", "vs_baseline": x}
+
+vs_baseline compares against the PyTorch-CPU reference step rate measured
+on this host by tools/measure_torch_baseline.py (BASELINE_MEASURED.json;
+the BASELINE.json north-star asks for >= 10x).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference-equivalent 64px bench config.
+IMAGE_SIZE = 64
+BATCH = 128
+LATENT = 100
+FEATURE_MAPS = 64
+WARMUP = 3
+ITERS = 20
+FALLBACK_BASELINE_IMGS_PER_SEC = 41.66  # torch-CPU, this host (2026-08)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgan.models import dcgan
+    from xgan.parallel import create_mesh
+    from xgan.train.common import adam, create_state
+    from xgan.train.gan import make_dcgan_step
+
+    backend = jax.default_backend()
+    dtype = jnp.float32 if backend == "cpu" else jnp.bfloat16
+    mesh_ctx = create_mesh()
+    batch = mesh_ctx.pad_batch(BATCH)
+
+    g_model = dcgan.Generator(latent_dim=LATENT, feature_maps=FEATURE_MAPS,
+                              image_size=IMAGE_SIZE, dtype=dtype)
+    d_model = dcgan.Discriminator(feature_maps=FEATURE_MAPS,
+                                  image_size=IMAGE_SIZE, dtype=dtype)
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    k = jax.random.key(0)
+    g_state = mesh_ctx.replicate(create_state(
+        g_model, g_tx, k, jnp.zeros((2, LATENT)), train=False))
+    d_state = mesh_ctx.replicate(create_state(
+        d_model, d_tx, k, jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3)),
+        train=False))
+
+    step = make_dcgan_step(g_model, d_model, g_tx, d_tx, latent_dim=LATENT,
+                           dtype=dtype,
+                           batch_sharding=mesh_ctx.batch_sharding(4))
+    images = mesh_ctx.replicate(jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 255, (4096, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8)))
+    rng = np.random.default_rng(1)
+
+    def run(i):
+        idx = jnp.asarray(rng.integers(0, 4096, (batch,), np.int64)
+                          .astype(np.int32))
+        return step(g_state, d_state, images, idx, jax.random.fold_in(
+            jax.random.key(2), i))
+
+    for i in range(WARMUP):
+        g_state, d_state, metrics = run(i)
+    jax.block_until_ready(metrics)
+
+    t0 = time.time()
+    for i in range(ITERS):
+        g_state, d_state, metrics = run(WARMUP + i)
+    jax.block_until_ready(metrics)
+    dt = (time.time() - t0) / ITERS
+    imgs_per_sec = batch / dt
+
+    baseline = FALLBACK_BASELINE_IMGS_PER_SEC
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            baseline = json.load(f)["torch_cpu_dcgan_64"]["imgs_per_sec"]
+
+    print(json.dumps({
+        "metric": f"dcgan64_train_imgs_per_sec_{backend}",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

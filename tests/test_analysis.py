@@ -1,0 +1,127 @@
+"""Analyzer tests: SSIM golden vs direct numpy, metrics loading against the
+reference's own checked-in artifacts, report/figures end-to-end."""
+import json
+import shutil
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xgan.ops.ssim import mean_ssim_per_synthetic, ssim_pair_matrix
+
+
+def _ssim_numpy_reference(a, b, win=7, k1=0.01, k2=0.03, data_range=1.0):
+    """Direct (slow) SSIM matching skimage defaults: uniform valid windows,
+    sample covariance, border crop."""
+    h, w = a.shape
+    npix = win * win
+    cov_norm = npix / (npix - 1)
+    vals = []
+    for i in range(h - win + 1):
+        for j in range(w - win + 1):
+            pa = a[i:i + win, j:j + win].astype(np.float64)
+            pb = b[i:i + win, j:j + win].astype(np.float64)
+            mua, mub = pa.mean(), pb.mean()
+            va = cov_norm * (np.mean(pa * pa) - mua * mua)
+            vb = cov_norm * (np.mean(pb * pb) - mub * mub)
+            cab = cov_norm * (np.mean(pa * pb) - mua * mub)
+            c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+            vals.append(((2 * mua * mub + c1) * (2 * cab + c2))
+                        / ((mua ** 2 + mub ** 2 + c1) * (va + vb + c2)))
+    return float(np.mean(vals))
+
+
+def test_ssim_matches_direct_computation():
+    rng = np.random.default_rng(0)
+    a = rng.random((16, 16)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.random((16, 16)).astype(np.float32), 0, 1)
+    got = float(ssim_pair_matrix(jnp.asarray(a[None]),
+                                 jnp.asarray(b[None]))[0, 0])
+    want = _ssim_numpy_reference(a, b)
+    assert abs(got - want) < 1e-4
+
+
+def test_ssim_identity_and_bounds():
+    rng = np.random.default_rng(1)
+    imgs = rng.random((3, 16, 16)).astype(np.float32)
+    mat = np.asarray(ssim_pair_matrix(jnp.asarray(imgs), jnp.asarray(imgs)))
+    np.testing.assert_allclose(np.diag(mat), 1.0, atol=1e-5)
+    assert (mat <= 1.0 + 1e-5).all()
+
+    means = np.asarray(mean_ssim_per_synthetic(jnp.asarray(imgs),
+                                               jnp.asarray(imgs)))
+    np.testing.assert_allclose(means, mat.mean(axis=1), atol=1e-6)
+
+
+def test_load_metrics_on_reference_artifacts():
+    """Our loader must consume the REFERENCE's own checked-in metric files
+    (the compatibility contract, SURVEY.md §5)."""
+    ref = Path("/root/reference/results/metrics")
+    if not ref.exists():
+        pytest.skip("reference artifacts not mounted")
+    from xgan.analysis import load_metrics
+    for prefix in ["baseline_", "augmented_", "curriculum_"]:
+        m = load_metrics(str(ref), prefix)
+        assert m is not None
+        assert "cv" in m
+        assert {"folds", "average", "std_dev"} <= set(m["cv"].keys())
+        assert "fold_histories" in m and len(m["fold_histories"]) == 5
+        h = m["history"]
+        for key in ["train_loss", "train_acc", "val_loss", "val_acc"]:
+            assert key in h
+
+
+def test_analyzer_end_to_end_on_reference_metrics(tmp_path):
+    """Full report+plots pass over the reference's metrics files."""
+    ref = Path("/root/reference/results/metrics")
+    if not ref.exists():
+        pytest.skip("reference artifacts not mounted")
+    from xgan.analysis import (generate_summary_report, load_metrics,
+                               plot_cv_comparison, plot_training_comparison)
+    data = {p[:-1]: load_metrics(str(ref), p)
+            for p in ["baseline_", "augmented_", "curriculum_"]}
+    out = tmp_path / "analysis"
+    out.mkdir()
+    plot_training_comparison(data, str(out))
+    plot_cv_comparison(data, str(out))
+    report = generate_summary_report(data, str(out))
+    assert (out / "comparison_report.txt").exists()
+    assert "Cross-Validation Performance" in report
+    assert "Baseline" in report and "Augmented" in report
+    # the reference's own numbers must surface in our report
+    assert "0.7333" in report  # baseline CV avg accuracy
+    assert (out / "cv_comparison.png").exists()
+    assert (out / "comparison_acc.png").exists()
+
+
+def test_gradcam_on_trained_checkpoint(tmp_path, fake_dataset):
+    """Grad-CAM panel generation from a real (tiny) checkpoint."""
+    import jax
+    from xgan.analysis import generate_grad_cam_comparison, grad_cam_resnet
+    from xgan.io_.checkpoint import save_variables
+    from xgan.models.resnet import ResNet50
+
+    model = ResNet50(num_classes=2)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    pred, cam = grad_cam_resnet(
+        model, variables,
+        np.random.default_rng(0).normal(size=(32, 32, 3))
+        .astype(np.float32))
+    assert pred in (0, 1)
+    assert cam.shape == (1, 1) or cam.ndim == 2
+    assert cam.min() >= 0.0 and cam.max() <= 1.0
+
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    save_variables(str(mdir / "baseline_resnet50.msgpack"), variables)
+    out = tmp_path / "analysis"
+    out.mkdir()
+    generate_grad_cam_comparison(
+        str(mdir), fake_dataset["data_dir"], fake_dataset["synthetic_dir"],
+        str(out), num_samples=1, image_size=32)
+    panels = list(out.glob("gradcam_*.png"))
+    assert len(panels) == 3  # real_pos, real_neg, synthetic

@@ -26,28 +26,35 @@ _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
 def conv2d(x, w, *, stride: int = 1, padding: int = 0,
-           preferred_dtype=jnp.float32):
+           preferred_dtype=None):
     """PyTorch-semantics Conv2d: symmetric int padding, square stride.
 
     x: (B, H, W, Cin); w: (kh, kw, Cin, Cout) -> (B, H', W', Cout)
+
+    Output dtype follows the inputs (bf16 in the mixed-precision path);
+    the TPU MXU still accumulates bf16 convolutions in fp32 internally.
+    ``preferred_element_type`` is deliberately NOT set: this jax version's
+    conv transpose (gradient) rule rejects mixed cotangent/operand dtypes
+    when it is.
     """
+    del preferred_dtype
     return lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=preferred_dtype,
     )
 
 
 def conv_transpose2d(x, w, *, stride: int = 1, padding: int = 0,
-                     preferred_dtype=jnp.float32):
+                     preferred_dtype=None):
     """PyTorch-semantics ConvTranspose2d(k, s, p) as an lhs-dilated conv.
 
     out = (in - 1) * s - 2p + k   (matches nn.ConvTranspose2d)
 
     x: (B, H, W, Cin); w: (kh, kw, Cin, Cout) -> (B, H', W', Cout)
     """
+    del preferred_dtype
     k = w.shape[0]
     pad = k - 1 - padding
     return lax.conv_general_dilated(
@@ -56,5 +63,4 @@ def conv_transpose2d(x, w, *, stride: int = 1, padding: int = 0,
         padding=((pad, pad), (pad, pad)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=preferred_dtype,
     )
