@@ -1,0 +1,62 @@
+"""Native PNG codec tests: roundtrip, PIL-resize parity, store integration,
+PIL fallback equivalence."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    from xgan import native
+    if not native._load():
+        pytest.skip("native codec unavailable (no toolchain)")
+    return native
+
+
+def test_encode_decode_roundtrip(native_lib, tmp_path):
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (6, 48, 48, 3), dtype=np.uint8)
+    paths = [str(tmp_path / f"im_{i}.png") for i in range(6)]
+    assert native_lib.encode_png_batch(imgs, paths) == 0
+    # PIL must read back our PNGs bit-exactly (interop with everything else)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(p).convert("RGB")), imgs[i])
+    back = native_lib.decode_png_batch(paths, 48)
+    np.testing.assert_array_equal(back, imgs)
+
+
+def test_native_resize_matches_pil(native_lib, tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    p = str(tmp_path / "r.png")
+    Image.fromarray(img).save(p)
+    for target in (48, 32, 120):
+        ours = native_lib.decode_png_batch([p], target)[0]
+        pil = np.asarray(Image.open(p).convert("RGB").resize(
+            (target, target), Image.BILINEAR))
+        diff = np.abs(ours.astype(int) - pil.astype(int))
+        assert diff.max() <= 1, f"target {target}: max diff {diff.max()}"
+
+
+def test_decode_missing_file_black(native_lib, tmp_path):
+    out = native_lib.decode_png_batch([str(tmp_path / "missing.png")], 16)
+    assert (out == 0).all()  # black substitute (reference behavior)
+
+
+def test_store_uses_same_values_as_pil_path(tmp_path):
+    """ImageStore.build output must be invariant to the codec used."""
+    from xgan.data.store import ImageStore, _decode_resize
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(4):
+        img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        p = str(tmp_path / f"s_{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    store = ImageStore.build(paths, np.zeros(4, np.int32), 32)
+    pil = np.stack([_decode_resize(p, 32) for p in paths])
+    diff = np.abs(store.images.astype(int) - pil.astype(int))
+    assert diff.max() <= 1

@@ -68,6 +68,9 @@ def add_tpu_args(p: argparse.ArgumentParser):
                    help="Debug: cap batches per epoch (0 = all)")
     p.add_argument("--trace-dir", type=str, default="",
                    help="Write a jax.profiler trace of one epoch here")
+    p.add_argument("--resume-from", type=str, default="",
+                   help="Resume from a snapshot_last.msgpack ('auto' = "
+                        "pick up the run's own last snapshot)")
     p.add_argument("--cpu", action="store_true",
                    help="Force CPU even if a TPU is available")
 

@@ -34,6 +34,23 @@ def _decode_resize(path: str, size: int) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def _decode_all(paths: List[str], size: int) -> np.ndarray:
+    """Decode+resize a path list; native threaded codec when available
+    (xgan.native, PIL-equivalent resampling), PIL otherwise."""
+    try:
+        from xgan import native
+        if native._load():
+            return native.decode_png_batch(paths, size)
+    except Exception as e:
+        print(f"Note: native decoder unavailable ({e}); using PIL.")
+    images = np.empty((len(paths), size, size, 3), np.uint8)
+    for i, p in enumerate(paths):
+        images[i] = _decode_resize(p, size)
+        if (i + 1) % 2000 == 0:
+            print(f"  decoded {i + 1}/{len(paths)} images")
+    return images
+
+
 def _cache_key(paths: Sequence[str], size: int) -> str:
     h = hashlib.sha256()
     h.update(str(size).encode())
@@ -71,11 +88,7 @@ class ImageStore:
                 images = np.load(npy, mmap_mode="r")
                 return ImageStore(images=images, labels=labels, size=size)
 
-        images = np.empty((len(paths), size, size, 3), np.uint8)
-        for i, p in enumerate(paths):
-            images[i] = _decode_resize(p, size)
-            if (i + 1) % 2000 == 0:
-                print(f"  decoded {i + 1}/{len(paths)} images")
+        images = _decode_all(paths, size)
 
         if cache_dir:
             np.save(npy, images)

@@ -97,13 +97,15 @@ def generate_images(model, variables, *, output_dir: str, num_images: int,
 
 def _write_pngs(images: np.ndarray, output_dir: str, written: int,
                 num_images: int, name_offset: int) -> int:
-    from PIL import Image
-    for img in images:
-        if written >= num_images:
-            break
-        written += 1
-        Image.fromarray(img).save(os.path.join(
-            output_dir, f"synthetic_{name_offset + written:05d}.png"))
-    if written % 1000 < images.shape[0]:
+    from xgan.native import encode_png_batch
+    take = min(images.shape[0], num_images - written)
+    paths = [os.path.join(output_dir,
+                          f"synthetic_{name_offset + written + i + 1:05d}.png")
+             for i in range(take)]
+    failures = encode_png_batch(images[:take], paths)
+    if failures:
+        print(f"Warning: {failures} PNG writes failed")
+    written += take
+    if written % 1000 < take:
         print(f"Generated {min(written, num_images)}/{num_images} images...")
     return written
