@@ -1,0 +1,74 @@
+"""Sampler tests: checkpoint round-trip, PNG output, conditional path,
+export-transform correctness."""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xgan.data.pipeline import tanh_to_u8
+
+
+def test_tanh_to_u8_transform():
+    # the reference's export transform x*0.5+0.5 (generate_synthetic.py:53)
+    x = jnp.asarray([[-1.0, 0.0, 1.0, 2.0, -2.0]])
+    out = np.asarray(tanh_to_u8(x))
+    np.testing.assert_array_equal(out, [[0, 128, 255, 255, 0]])
+
+
+def test_generate_images_from_checkpoint(tmp_path):
+    from xgan.io_.checkpoint import save_variables
+    from xgan.models import dcgan
+    from xgan.train.sample import generate_images, load_generator
+
+    model = dcgan.Generator(latent_dim=8, feature_maps=4, image_size=32)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 8)),
+                           train=False)
+    ckpt = str(tmp_path / "generator_final.msgpack")
+    save_variables(ckpt, {"params": variables["params"],
+                          "batch_stats": variables["batch_stats"]})
+
+    loaded = load_variables_roundtrip = load_generator(
+        model, ckpt, (jnp.zeros((2, 8)),))
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(loaded["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_dir = str(tmp_path / "synthetic")
+    n = generate_images(model, loaded, output_dir=out_dir, num_images=10,
+                        latent_dim=8, batch_size=4, seed=0)
+    assert n == 10
+    files = sorted(glob.glob(os.path.join(out_dir, "synthetic_*.png")))
+    assert len(files) == 10
+    assert files[0].endswith("synthetic_00001.png")
+    from PIL import Image
+    im = Image.open(files[0])
+    assert im.size == (32, 32) and im.mode == "RGB"
+
+
+def test_generate_conditional(tmp_path):
+    from xgan.models import cgan
+    from xgan.train.sample import generate_images
+
+    model = cgan.Generator(latent_dim=8, feature_maps=8, image_size=32)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 8)),
+                           jnp.zeros((2,), jnp.int32), train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    out_dir = str(tmp_path / "synth_cgan")
+    n = generate_images(model, variables, output_dir=out_dir, num_images=6,
+                        latent_dim=8, batch_size=4, seed=0,
+                        conditional=True, num_classes=2)
+    assert n == 6
+    assert len(glob.glob(os.path.join(out_dir, "*.png"))) == 6
+
+
+def test_missing_checkpoint_exits(tmp_path):
+    from xgan.models import dcgan
+    from xgan.train.sample import load_generator
+    model = dcgan.Generator(latent_dim=8, feature_maps=4, image_size=32)
+    with pytest.raises(SystemExit):
+        load_generator(model, str(tmp_path / "nope.msgpack"),
+                       (jnp.zeros((2, 8)),))

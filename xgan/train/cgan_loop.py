@@ -34,6 +34,7 @@ from xgan.parallel import create_mesh
 from xgan.train.cgan import make_cgan_step
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
+from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 
 NUM_CLASSES = 2
@@ -128,11 +129,18 @@ def train_cgan(args):
                "D_losses_epoch": [], "perceptual_losses": [],
                "feature_matching_losses": []}
     data_rng = np.random.default_rng(args.seed)
-    iters = 0
+    snap_mgr = SnapshotManager(
+        os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx)
+    states, start_epoch, iters = snap_mgr.try_resume(
+        getattr(args, "resume_from", ""),
+        {"g": g_state, "d": d_state})
+    g_state, d_state = states["g"], states["d"]
+    for _ in range(start_epoch):
+        epoch_batches(len(store), batch_size, data_rng)
     timer = StepTimer()
     start = time.time()
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         batches = epoch_batches(len(store), batch_size, data_rng)
         if args.limit_batches:
@@ -182,6 +190,7 @@ def train_cgan(args):
                 model_dir,
                 f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
                 d_state.variables())
+            snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
             print(f"Saved checkpoints for epoch {epoch + 1} to {model_dir}")
 
     print(f"Training finished in {time.time() - start:.2f} seconds.")

@@ -43,31 +43,42 @@ def softmax_ce(logits, labels):
         logits.astype(jnp.float32), labels)
 
 
-def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx):
+def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
+                  *, use_pallas: bool = False):
     """Virtual ConcatDataset gather: idx < n_real -> real, else synthetic.
 
     Mirrors ConcatDataset([real_subset, synthetic]) ordering
     (data_loader.py:575,:642) without materializing a combined array.
+    ``use_pallas`` switches to the single-DMA-per-sample kernel
+    (xgan.ops.pallas.gather) on the single-device TPU path.
     """
     n_real = real_u8.shape[0]
     is_real = idx < n_real
     r_idx = jnp.where(is_real, idx, 0)
     s_idx = jnp.where(is_real, 0, idx - n_real)
-    imgs = jnp.where(is_real[:, None, None, None],
-                     jnp.take(real_u8, r_idx, axis=0),
-                     jnp.take(synth_u8, s_idx, axis=0))
+    if use_pallas:
+        from xgan.ops.pallas.gather import mixed_gather
+        imgs = mixed_gather(real_u8, synth_u8, r_idx, s_idx,
+                            jnp.logical_not(is_real))
+    else:
+        imgs = jnp.where(is_real[:, None, None, None],
+                         jnp.take(real_u8, r_idx, axis=0),
+                         jnp.take(synth_u8, s_idx, axis=0))
     labels = jnp.where(is_real, jnp.take(real_labels, r_idx, axis=0),
                        jnp.take(synth_labels, s_idx, axis=0))
     return imgs, labels
 
 
 def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
-                    batch_sharding=None):
+                    batch_sharding=None, use_pallas_gather: bool = False):
     """mode: 'real' | 'concat' | 'mix'.
 
     step(state, real_u8, real_labels, synth_u8, synth_labels, idx, ratio,
     key) -> (state, per_sample_loss (B,), preds (B,), labels (B,)).
     For 'real' and 'concat' the ratio argument is ignored.
+    ``use_pallas_gather`` enables the single-DMA mixed-source gather
+    kernel (single-device TPU only; under SPMD the XLA gather partitions
+    automatically while the custom call would not).
     """
     def assemble(real_u8, real_labels, synth_u8, synth_labels, idx,
                  ratio, key):
@@ -76,10 +87,12 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
             labels = jnp.take(real_labels, idx, axis=0)
         elif mode == "concat":
             imgs, labels = gather_concat(real_u8, real_labels, synth_u8,
-                                         synth_labels, idx)
+                                         synth_labels, idx,
+                                         use_pallas=use_pallas_gather)
         elif mode == "mix":
             imgs, labels = mix_batch(real_u8, real_labels, idx, synth_u8,
-                                     synth_labels, ratio, key)
+                                     synth_labels, ratio, key,
+                                     use_pallas=use_pallas_gather)
         else:
             raise ValueError(mode)
         return imgs, labels

@@ -147,8 +147,11 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
     state = mesh_ctx.replicate(state)
 
     bsh = mesh_ctx.batch_sharding(4)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and mesh_ctx.n_devices == 1 and mode != "real")
     train_step = make_train_step(model, tx, mode=mode, dtype=dtype,
-                                 batch_sharding=bsh)
+                                 batch_sharding=bsh,
+                                 use_pallas_gather=use_pallas)
     eval_step = make_eval_step(model, dtype=dtype, batch_sharding=bsh)
 
     batch_size = mesh_ctx.pad_batch(args.batch_size)

@@ -16,13 +16,14 @@ import numpy as np
 from xgan.data import rsna
 from xgan.data.pipeline import DeviceStore, epoch_batches
 from xgan.data.store import ImageStore
-from xgan.io_.checkpoint import load_variables, save_variables
+from xgan.io_.checkpoint import save_variables
 from xgan.io_.figures import plot_gan_losses, save_image_grid
 from xgan.io_.metrics import write_json
 from xgan.models import dcgan
 from xgan.parallel import create_mesh
 from xgan.train.common import adam, create_state
-from xgan.train.gan import make_dcgan_step, make_sampler
+from xgan.train.gan import make_dcgan_step
+from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
 
@@ -119,34 +120,15 @@ def train_dcgan(args):
                "G_losses_epoch": [], "D_losses_epoch": []}
 
     data_rng = np.random.default_rng(args.seed)
-    iters = 0
-    start_epoch = 0
-
-    # --- Resume (capability the reference lacks: its checkpoints are
-    # write-only, SURVEY.md §5). A snapshot carries params, BN stats,
-    # optimizer state and counters.
-    snapshot_path = os.path.join(gan_model_dir, "snapshot_last.msgpack")
-    resume_from = getattr(args, "resume_from", "")
-    if resume_from == "auto" and os.path.exists(snapshot_path):
-        resume_from = snapshot_path
-    if resume_from and os.path.exists(resume_from):
-        like = {"g": jax.device_get(g_state), "d": jax.device_get(d_state),
-                "epoch": 0, "iters": 0}
-        snap = load_variables(resume_from, like)
-        g_state = mesh_ctx.replicate(snap["g"])
-        d_state = mesh_ctx.replicate(snap["d"])
-        start_epoch = int(snap["epoch"])
-        iters = int(snap["iters"])
-        # replay the data-order RNG to the resume point
-        for _ in range(start_epoch):
-            epoch_batches(len(store), batch_size, data_rng)
-        print(f"Resumed from {resume_from} at epoch {start_epoch}, "
-              f"iter {iters}")
-
-    def save_snapshot(epoch_next):
-        save_variables(snapshot_path, {
-            "g": jax.device_get(g_state), "d": jax.device_get(d_state),
-            "epoch": epoch_next, "iters": iters})
+    snap_mgr = SnapshotManager(
+        os.path.join(gan_model_dir, "snapshot_last.msgpack"), mesh_ctx)
+    states, start_epoch, iters = snap_mgr.try_resume(
+        getattr(args, "resume_from", ""),
+        {"g": g_state, "d": d_state})
+    g_state, d_state = states["g"], states["d"]
+    # replay the data-order RNG to the resume point
+    for _ in range(start_epoch):
+        epoch_batches(len(store), batch_size, data_rng)
 
     timer = StepTimer()
     start_time = time.time()
@@ -208,7 +190,7 @@ def train_dcgan(args):
                 gan_model_dir,
                 f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
                 d_state.variables())
-            save_snapshot(epoch + 1)
+            snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
             print(f"Saved checkpoints for epoch {epoch + 1} "
                   f"to {gan_model_dir}")
 

@@ -1,0 +1,53 @@
+"""Full-state training snapshots (resume capability the reference lacks —
+its checkpoints are write-only, SURVEY.md §5).
+
+A snapshot holds every ModelState (params + BN stats + optimizer state)
+plus the epoch/iteration counters, serialized as one msgpack file.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import jax
+
+from xgan.io_.checkpoint import load_variables, save_variables
+from xgan.train.common import ModelState
+
+
+class SnapshotManager:
+    def __init__(self, path: str, mesh_ctx=None):
+        self.path = path
+        self.mesh_ctx = mesh_ctx
+
+    def save(self, states: Dict[str, ModelState], epoch: int,
+             iters: int) -> None:
+        payload = {name: jax.device_get(st) for name, st in states.items()}
+        payload["epoch"] = epoch
+        payload["iters"] = iters
+        save_variables(self.path, payload)
+
+    def try_resume(self, resume_from: str,
+                   states: Dict[str, ModelState]
+                   ) -> Tuple[Dict[str, ModelState], int, int]:
+        """resume_from: path, or 'auto' (this run's own snapshot), or ''."""
+        if resume_from == "auto":
+            resume_from = self.path if os.path.exists(self.path) else ""
+        if not resume_from:
+            return states, 0, 0
+        if not os.path.exists(resume_from):
+            print(f"Warning: snapshot {resume_from} not found; "
+                  "starting fresh.")
+            return states, 0, 0
+        like = {name: jax.device_get(st) for name, st in states.items()}
+        like["epoch"] = 0
+        like["iters"] = 0
+        snap = load_variables(resume_from, like)
+        out = {}
+        for name in states:
+            st = snap[name]
+            out[name] = (self.mesh_ctx.replicate(st)
+                         if self.mesh_ctx is not None else st)
+        epoch, iters = int(snap["epoch"]), int(snap["iters"])
+        print(f"Resumed from {resume_from} at epoch {epoch}, iter {iters}")
+        return out, epoch, iters

@@ -21,6 +21,7 @@ from xgan.models import wgan
 from xgan.parallel import create_mesh
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
+from xgan.train.snapshot import SnapshotManager
 from xgan.train.wgan import make_wgan_step
 from xgan.utils import StepTimer, check_create_dir
 
@@ -85,10 +86,17 @@ def train_wgan(args):
     history = {"D_losses": [], "G_losses": [], "D_losses_epoch": [],
                "G_losses_epoch": []}
     data_rng = np.random.default_rng(args.seed)
-    iters = 0
+    snap_mgr = SnapshotManager(
+        os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx)
+    states, start_epoch, iters = snap_mgr.try_resume(
+        getattr(args, "resume_from", ""),
+        {"g": g_state, "c": c_state})
+    g_state, c_state = states["g"], states["c"]
+    for _ in range(start_epoch):
+        epoch_batches(len(store), batch_size, data_rng)
     timer = StepTimer()
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         batches = epoch_batches(len(store), batch_size, data_rng)
         if args.limit_batches:
@@ -133,6 +141,7 @@ def train_wgan(args):
             save_variables(os.path.join(
                 model_dir, f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
                 c_state.variables())
+            snap_mgr.save({"g": g_state, "c": c_state}, epoch + 1, iters)
 
     save_variables(os.path.join(model_dir, "generator_final.msgpack"),
                    g_state.variables())
