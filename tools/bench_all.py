@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Full benchmark table -> BENCH_DETAIL.json (bench.py prints only the
+headline DCGAN number for the driver).
+
+Covers the BASELINE.json metric set: DCGAN train steps/sec + imgs/sec
+(64px and the reference's 224px), WGAN-GP fused step (critic_iters=5),
+CGAN step, ResNet-50 train imgs/sec/chip (frozen-base, batch 32 + 128),
+and sharded generator inference imgs/sec (device-side and end-to-end with
+native PNG encode).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=20, warmup=3):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def bench_dcgan(mesh_ctx, dtype, size, batch):
+    from xgan.models import dcgan
+    from xgan.train.common import adam, create_state
+    from xgan.train.gan import make_dcgan_step
+    g_model = dcgan.Generator(latent_dim=100, feature_maps=64,
+                              image_size=size, dtype=dtype)
+    d_model = dcgan.Discriminator(feature_maps=64, image_size=size,
+                                  dtype=dtype)
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    k = jax.random.key(0)
+    g_state = mesh_ctx.replicate(create_state(
+        g_model, g_tx, k, jnp.zeros((2, 100)), train=False))
+    d_state = mesh_ctx.replicate(create_state(
+        d_model, d_tx, k, jnp.zeros((2, size, size, 3)), train=False))
+    step = make_dcgan_step(g_model, d_model, g_tx, d_tx, latent_dim=100,
+                           dtype=dtype,
+                           batch_sharding=mesh_ctx.batch_sharding(4),
+                           donate=False)
+    n_store = 2048 if size <= 64 else 512
+    images = mesh_ctx.replicate(jnp.asarray(np.random.default_rng(0)
+                                            .integers(0, 255,
+                                                      (n_store, size, size,
+                                                       3), np.uint8)))
+    idx = jnp.arange(batch, dtype=jnp.int32) % n_store
+
+    def run(i):
+        return step(g_state, d_state, images, idx,
+                    jax.random.fold_in(jax.random.key(1), i))[2]
+    dt = timeit(run, 0, iters=20)
+    return {"sec_per_step": dt, "imgs_per_sec": batch / dt}
+
+
+def bench_wgan(mesh_ctx, dtype, size, batch, critic_iters=5):
+    from xgan.models import wgan
+    from xgan.train.common import adam, create_state
+    from xgan.train.wgan import make_wgan_step
+    g_model = wgan.Generator(latent_dim=100, feature_maps=64,
+                             image_size=size, dtype=dtype)
+    c_model = wgan.Critic(feature_maps=64, image_size=size, dtype=dtype)
+    g_tx, c_tx = adam(2e-4, 0.5, 0.9), adam(2e-4, 0.5, 0.9)
+    k = jax.random.key(0)
+    g_state = mesh_ctx.replicate(create_state(
+        g_model, g_tx, k, jnp.zeros((2, 100)), train=False))
+    c_state = mesh_ctx.replicate(create_state(
+        c_model, c_tx, k, jnp.zeros((2, size, size, 3)), train=False))
+    step = make_wgan_step(g_model, c_model, g_tx, c_tx, latent_dim=100,
+                          critic_iters=critic_iters, lambda_gp=10.0,
+                          dtype=dtype,
+                          batch_sharding=mesh_ctx.batch_sharding(4),
+                          donate=False)
+    images = mesh_ctx.replicate(jnp.asarray(np.random.default_rng(0)
+                                            .integers(0, 255,
+                                                      (512, size, size, 3),
+                                                      np.uint8)))
+    idx = jnp.arange(batch, dtype=jnp.int32)
+
+    def run(i):
+        return step(g_state, c_state, images, idx,
+                    jax.random.fold_in(jax.random.key(1), i))[3]
+    dt = timeit(run, 0, iters=10)
+    return {"sec_per_step": dt, "imgs_per_sec": batch / dt,
+            "critic_iters": critic_iters}
+
+
+def bench_cgan(mesh_ctx, dtype, size, batch):
+    from xgan.models import cgan
+    from xgan.models.vgg import VGG16Features
+    from xgan.train.cgan import make_cgan_step
+    from xgan.train.common import adam, create_state
+    g_model = cgan.Generator(latent_dim=100, feature_maps=32,
+                             image_size=size, dtype=dtype)
+    d_model = cgan.Discriminator(feature_maps=32, image_size=size,
+                                 dtype=dtype)
+    vgg = VGG16Features(dtype=dtype)
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    k = jax.random.key(0)
+    lab = jnp.zeros((2,), jnp.int32)
+    g_state = mesh_ctx.replicate(create_state(
+        g_model, g_tx, k, jnp.zeros((2, 100)), lab, train=False))
+    d_state = mesh_ctx.replicate(create_state(
+        d_model, d_tx, k, jnp.zeros((2, size, size, 3)), lab, train=False))
+    vgg_params = mesh_ctx.replicate(
+        vgg.init(k, jnp.zeros((1, size, size, 3)))["params"])
+    step = make_cgan_step(g_model, d_model, vgg, g_tx, d_tx,
+                          latent_dim=100, dtype=dtype,
+                          batch_sharding=mesh_ctx.batch_sharding(4),
+                          donate=False)
+    images = mesh_ctx.replicate(jnp.asarray(np.random.default_rng(0)
+                                            .integers(0, 255,
+                                                      (512, size, size, 3),
+                                                      np.uint8)))
+    labels = mesh_ctx.replicate(jnp.asarray(
+        (np.arange(512) % 2).astype(np.int32)))
+    idx = jnp.arange(batch, dtype=jnp.int32)
+
+    def run(i):
+        return step(g_state, d_state, vgg_params, images, labels, idx,
+                    jnp.int32(0), jax.random.fold_in(jax.random.key(1), i))[2]
+    dt = timeit(run, 0, iters=10)
+    return {"sec_per_step": dt, "imgs_per_sec": batch / dt}
+
+
+def bench_resnet(mesh_ctx, dtype, size, batch, freeze=True):
+    from xgan.models.resnet import ResNet50
+    from xgan.train.classifier import classifier_optimizer, make_train_step
+    from xgan.train.common import ModelState
+    model = ResNet50(num_classes=2, dtype=dtype)
+    tx = classifier_optimizer(1e-3, freeze_base=freeze)
+    k = jax.random.key(0)
+    v = model.init(k, jnp.zeros((2, size, size, 3)), train=False)
+    state = mesh_ctx.replicate(ModelState(
+        params=v["params"], batch_stats=v["batch_stats"],
+        opt_state=tx.init(v["params"])))
+    step = make_train_step(model, tx, mode="real", dtype=dtype,
+                           batch_sharding=mesh_ctx.batch_sharding(4))
+    images = mesh_ctx.replicate(jnp.asarray(np.random.default_rng(0)
+                                            .integers(0, 255,
+                                                      (512, size, size, 3),
+                                                      np.uint8)))
+    labels = mesh_ctx.replicate(jnp.asarray(
+        (np.arange(512) % 2).astype(np.int32)))
+    dummy = mesh_ctx.replicate(jnp.zeros((1, size, size, 3), jnp.uint8))
+    dummy_l = mesh_ctx.replicate(jnp.ones((1,), jnp.int32))
+    idx = jnp.arange(batch, dtype=jnp.int32)
+    holder = {"state": state}
+
+    def run(i):
+        holder["state"], losses, _, _ = step(
+            holder["state"], images, labels, dummy, dummy_l, idx,
+            jnp.float32(0.0), jax.random.fold_in(jax.random.key(1), i))
+        return losses
+    dt = timeit(run, 0, iters=10)
+    return {"sec_per_step": dt, "imgs_per_sec": batch / dt,
+            "frozen_base": freeze}
+
+
+def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
+    from xgan.models import dcgan
+    from xgan.train.sample import generate_images
+    model = dcgan.Generator(latent_dim=100, feature_maps=64,
+                            image_size=size, dtype=dtype)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 100)),
+                           train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    os.makedirs(out_dir, exist_ok=True)
+    n = 512
+    t0 = time.time()
+    generate_images(model, variables, output_dir=out_dir, num_images=n,
+                    latent_dim=100, batch_size=batch, seed=0)
+    dt = time.time() - t0
+    return {"num_images": n, "end_to_end_imgs_per_sec": n / dt}
+
+
+def main():
+    from xgan.parallel import create_mesh
+    backend = jax.default_backend()
+    dtype = jnp.float32 if backend == "cpu" else jnp.bfloat16
+    mesh_ctx = create_mesh()
+    results = {"backend": backend, "mesh": dict(mesh_ctx.mesh.shape),
+               "dtype": dtype.__name__}
+
+    print("DCGAN 64px batch 128...")
+    results["dcgan_train_64px_b128"] = bench_dcgan(mesh_ctx, dtype, 64, 128)
+    print(results["dcgan_train_64px_b128"])
+    print("DCGAN 224px batch 128 (reference config)...")
+    results["dcgan_train_224px_b128"] = bench_dcgan(mesh_ctx, dtype, 224,
+                                                    128)
+    print(results["dcgan_train_224px_b128"])
+    print("WGAN-GP 224px batch 64, 5 critic iters...")
+    results["wgan_gp_train_224px_b64"] = bench_wgan(mesh_ctx, dtype, 224,
+                                                    64)
+    print(results["wgan_gp_train_224px_b64"])
+    print("CGAN 224px batch 32...")
+    results["cgan_train_224px_b32"] = bench_cgan(mesh_ctx, dtype, 224, 32)
+    print(results["cgan_train_224px_b32"])
+    print("ResNet-50 224px batch 32 (frozen base, reference config)...")
+    results["resnet50_train_224px_b32"] = bench_resnet(mesh_ctx, dtype,
+                                                       224, 32)
+    print(results["resnet50_train_224px_b32"])
+    print("ResNet-50 224px batch 128 (frozen base)...")
+    results["resnet50_train_224px_b128"] = bench_resnet(mesh_ctx, dtype,
+                                                        224, 128)
+    print(results["resnet50_train_224px_b128"])
+    print("Sampler 224px batch 256 end-to-end (device + native PNG)...")
+    results["generate_synthetic_224px"] = bench_sampler(
+        mesh_ctx, dtype, 224, 256, "/tmp/bench_sampler_out")
+    print(results["generate_synthetic_224px"])
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAIL.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
