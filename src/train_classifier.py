@@ -44,6 +44,9 @@ def build_parser():
     p.add_argument("--pretrained-path", type=str, default="",
                    help="Optional torchvision resnet50 .pth for ImageNet "
                         "init (no network egress here)")
+    p.add_argument("--parallel-folds", action="store_true",
+                   help="Train all CV folds simultaneously (vmap-stacked "
+                        "fold states; ~k-fold wall-clock speedup)")
     config.add_tpu_args(p)
     return p
 

@@ -1,0 +1,104 @@
+"""CLI flag-surface contract: every entry point must expose the reference
+script's flags with the reference's defaults (SURVEY.md §5 flag inventory).
+"""
+import importlib.util
+import os
+import sys
+
+import pytest
+
+SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "src")
+
+
+def load_parser(script):
+    spec = importlib.util.spec_from_file_location(
+        f"cli_{script}", os.path.join(SRC, f"{script}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.build_parser()
+
+
+def defaults(parser):
+    return {a.dest: a.default for a in parser._actions}
+
+
+def test_train_gan_flags():
+    d = defaults(load_parser("train_gan"))
+    # reference train_gan.py:213-249
+    assert d["data_dir"] == "./data/processed"
+    assert d["model_dir"] == "./models"
+    assert d["output_dir"] == "./results"
+    assert d["results_dir"] == "./results/metrics"
+    assert d["figures_dir"] == "./results/figures"
+    assert d["num_channels"] == 3
+    assert d["latent_dim"] == 100
+    assert d["feature_maps_g"] == 64 and d["feature_maps_d"] == 64
+    assert d["epochs"] == 50 and d["batch_size"] == 128
+    assert d["lr"] == 0.0002 and d["beta1"] == 0.5
+    assert d["vis_batch_size"] == 64
+    assert d["save_interval"] == 500 and d["checkpoint_interval"] == 10
+    assert d["cpu"] is False
+    assert d["image_size"] == 224  # TPU extra, reference-equivalent default
+
+
+def test_train_wggan_flags():
+    d = defaults(load_parser("train_wggan"))
+    # reference train_wggan.py:126-155
+    assert d["epochs"] == 30 and d["batch_size"] == 64
+    assert d["critic_iters"] == 5 and d["lambda_gp"] == 10.0
+    assert d["feature_maps_g"] == 64
+
+
+def test_train_cgan_flags():
+    d = defaults(load_parser("train_cgan"))
+    # reference train_cgan.py:249-274
+    assert d["epochs"] == 50 and d["batch_size"] == 32
+    assert d["feature_maps_g"] == 32 and d["feature_maps_d"] == 32
+    assert d["vis_batch_size"] == 32
+    assert d["save_interval"] == 1000 and d["checkpoint_interval"] == 5
+
+
+def test_train_classifier_flags():
+    d = defaults(load_parser("train_classifier"))
+    # reference train_classifier.py:697-747
+    assert d["synthetic_dir"] == "./data/synthetic"
+    assert d["epochs"] == 15 and d["batch_size"] == 32
+    assert d["lr"] == 0.001
+    assert d["unfreeze"] is False
+    assert d["k_folds"] == 5
+    assert d["use_synthetic"] is False and d["use_curriculum"] is False
+    assert d["curriculum_schedule"] == "0:0.0, 5:0.25, 10:0.5"
+
+
+@pytest.mark.parametrize("script,fm", [("generate_synthetic", 64),
+                                       ("generate_synthetic_cgan", 32),
+                                       ("generate_synthetic_wgan", 64)])
+def test_generate_flags(script, fm):
+    d = defaults(load_parser(script))
+    # reference generate_synthetic*.py argparse blocks
+    assert d["output_dir"] == "./data/synthetic"
+    assert d["num_images"] == 5000
+    assert d["latent_dim"] == 100
+    assert d["feature_maps_g"] == fm
+    assert d["batch_size"] == 64
+    p = load_parser(script)
+    with pytest.raises(SystemExit):  # --model-path is required
+        p.parse_args([])
+
+
+def test_analyze_results_flags():
+    d = defaults(load_parser("analyze_results"))
+    # reference analyze_results.py:586-609
+    assert d["metrics_dir"] == "./results/metrics"
+    assert d["analysis_dir"] == "./results/analysis"
+    assert d["num_ssim_real"] == 100 and d["num_ssim_synth"] == 500
+    assert d["num_gradcam_samples"] == 3
+    assert d["skip_plots"] is False and d["skip_ssim"] is False
+    assert d["skip_gradcam"] is False
+
+
+def test_data_loader_flags():
+    d = defaults(load_parser("data_loader"))
+    assert d["batch_size"] == 4 and d["k_folds"] == 3
+    assert d["test_mode"] == "basic"

@@ -56,10 +56,14 @@ def bench_dcgan(mesh_ctx, dtype, size, batch):
                                                       (n_store, size, size,
                                                        3), np.uint8)))
     idx = jnp.arange(batch, dtype=jnp.int32) % n_store
+    holder = {"g": g_state, "d": d_state, "i": 0}
 
-    def run(i):
-        return step(g_state, d_state, images, idx,
-                    jax.random.fold_in(jax.random.key(1), i))[2]
+    def run(_):
+        holder["i"] += 1
+        holder["g"], holder["d"], metrics = step(
+            holder["g"], holder["d"], images, idx,
+            jax.random.fold_in(jax.random.key(1), holder["i"]))
+        return metrics
     dt = timeit(run, 0, iters=20)
     return {"sec_per_step": dt, "imgs_per_sec": batch / dt}
 
@@ -87,10 +91,14 @@ def bench_wgan(mesh_ctx, dtype, size, batch, critic_iters=5):
                                                       (512, size, size, 3),
                                                       np.uint8)))
     idx = jnp.arange(batch, dtype=jnp.int32)
+    holder = {"g": g_state, "c": c_state, "i": 0}
 
-    def run(i):
-        return step(g_state, c_state, images, idx,
-                    jax.random.fold_in(jax.random.key(1), i))[3]
+    def run(_):
+        holder["i"] += 1
+        holder["g"], holder["c"], _, g_loss = step(
+            holder["g"], holder["c"], images, idx,
+            jax.random.fold_in(jax.random.key(1), holder["i"]))
+        return g_loss
     dt = timeit(run, 0, iters=10)
     return {"sec_per_step": dt, "imgs_per_sec": batch / dt,
             "critic_iters": critic_iters}
@@ -126,10 +134,15 @@ def bench_cgan(mesh_ctx, dtype, size, batch):
     labels = mesh_ctx.replicate(jnp.asarray(
         (np.arange(512) % 2).astype(np.int32)))
     idx = jnp.arange(batch, dtype=jnp.int32)
+    holder = {"g": g_state, "d": d_state, "i": 0}
 
-    def run(i):
-        return step(g_state, d_state, vgg_params, images, labels, idx,
-                    jnp.int32(0), jax.random.fold_in(jax.random.key(1), i))[2]
+    def run(_):
+        holder["i"] += 1
+        holder["g"], holder["d"], metrics = step(
+            holder["g"], holder["d"], vgg_params, images, labels, idx,
+            jnp.int32(0), jax.random.fold_in(jax.random.key(1),
+                                             holder["i"]))
+        return metrics
     dt = timeit(run, 0, iters=10)
     return {"sec_per_step": dt, "imgs_per_sec": batch / dt}
 
@@ -178,7 +191,11 @@ def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
     variables = {"params": variables["params"],
                  "batch_stats": variables["batch_stats"]}
     os.makedirs(out_dir, exist_ok=True)
-    n = 512
+    # warm-up covers the jit compile so the timed run is steady-state
+    generate_images(model, variables, output_dir=out_dir,
+                    num_images=batch, latent_dim=100, batch_size=batch,
+                    seed=0)
+    n = 2048
     t0 = time.time()
     generate_images(model, variables, output_dir=out_dir, num_images=n,
                     latent_dim=100, batch_size=batch, seed=0)

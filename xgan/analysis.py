@@ -28,7 +28,6 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
-from xgan.utils import check_create_dir  # noqa: E402
 
 RUN_COLORS = {"baseline": "#1f77b4", "augmented": "#2ca02c",
               "curriculum": "#ff7f0e"}

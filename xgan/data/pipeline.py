@@ -13,7 +13,7 @@ data axis via sharding constraints.
 """
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ helpers and reuse these primitives.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import matplotlib
 

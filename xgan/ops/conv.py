@@ -17,8 +17,6 @@ convention relative to PyTorch is immaterial.
 """
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 from jax import lax
 
 # NHWC activations, HWIO weights.

@@ -14,14 +14,14 @@ backbone in ``model.train()``.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from xgan.data.mixer import mix_batch
-from xgan.data.pipeline import gather_preprocess, normalize_images, random_flip
+from xgan.data.pipeline import normalize_images, random_flip
 from xgan.train.common import ModelState, apply_updates
 
 
@@ -70,7 +70,8 @@ def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
 
 
 def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
-                    batch_sharding=None, use_pallas_gather: bool = False):
+                    batch_sharding=None, use_pallas_gather: bool = False,
+                    jit_compile: bool = True):
     """mode: 'real' | 'concat' | 'mix'.
 
     step(state, real_u8, real_labels, synth_u8, synth_labels, idx, ratio,
@@ -79,6 +80,8 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
     ``use_pallas_gather`` enables the single-DMA mixed-source gather
     kernel (single-device TPU only; under SPMD the XLA gather partitions
     automatically while the custom call would not).
+    ``jit_compile=False`` returns the raw traceable function (for the
+    parallel-folds vmap wrapper).
     """
     def assemble(real_u8, real_labels, synth_u8, synth_labels, idx,
                  ratio, key):
@@ -121,10 +124,13 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
         preds = jnp.argmax(logits, axis=-1)
         return state, losses, preds, labels
 
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(model, *, dtype=jnp.float32, batch_sharding=None):
+def make_eval_step(model, *, dtype=jnp.float32, batch_sharding=None,
+                   jit_compile: bool = True):
     """Eval: running-stats BN, no flip. Returns (per-sample loss, preds)."""
     def step(variables, images_u8, idx, labels_all):
         imgs_u8 = jnp.take(images_u8, idx, axis=0)
@@ -136,6 +142,8 @@ def make_eval_step(model, *, dtype=jnp.float32, batch_sharding=None):
         logits = model.apply(variables, imgs, train=False)
         return softmax_ce(logits, labels), jnp.argmax(logits, -1), labels
 
+    if not jit_compile:
+        return step
     return jax.jit(step)
 
 

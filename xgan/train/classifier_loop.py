@@ -19,7 +19,6 @@ with the test set as validation.
 """
 from __future__ import annotations
 
-import copy
 import os
 import time
 
@@ -300,6 +299,29 @@ def train_classifier(args):
     eval_step = make_eval_step(eval_model, dtype=dtype,
                                batch_sharding=mesh_ctx.batch_sharding(4))
     batch_size = mesh_ctx.pad_batch(args.batch_size)
+
+    if is_cv and getattr(args, "parallel_folds", False):
+        from xgan.train.parallel_cv import run_parallel_cv
+        kf = KFold(n_splits=args.k_folds, shuffle=True,
+                   random_state=KFOLD_SEED)
+        splits = list(kf.split(range(len(train_store))))
+        best_vars, fold_histories = run_parallel_cv(
+            args, mesh_ctx, dtype, stores, splits, strategy=strategy,
+            schedule=schedule, init_resnet=_init_resnet)
+        fold_metrics = []
+        for fold, bv in enumerate(best_vars):
+            print(f"--- Evaluating Fold {fold + 1} Model on Test Set ---")
+            fold_metrics.append(
+                evaluate_model(eval_step, bv, test_dev, batch_size))
+        summary = cv_summary(fold_metrics)
+        print("\n===== Cross-Validation Summary (parallel folds) =====")
+        for key, v in summary["average"].items():
+            print(f"Average {key}: {v:.4f} +/- {summary['std_dev'][key]:.4f}")
+        write_json(os.path.join(args.results_dir,
+                                f"{run_prefix}cv_summary.json"), summary)
+        generate_plots(fold_histories, args.figures_dir, run_prefix,
+                       cv_results=summary)
+        return summary
 
     if is_cv:
         kf = KFold(n_splits=args.k_folds, shuffle=True,

@@ -1,7 +1,7 @@
 """Shared training-state plumbing for the GAN and classifier trainers."""
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.struct
 import jax

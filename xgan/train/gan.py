@@ -24,7 +24,6 @@ Update-order parity with the reference loop:
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
