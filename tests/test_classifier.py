@@ -107,8 +107,11 @@ def test_classifier_cv_end_to_end(fake_dataset, tmp_path, strategy):
     assert set(summary.keys()) == {"folds", "average", "std_dev"}
     assert len(summary["folds"]) == 2
     for m in summary["folds"]:
-        assert set(m.keys()) == {"loss", "accuracy", "weighted_precision",
-                                 "weighted_recall", "weighted_f1_score"}
+        # reference keys (train_classifier.py:241-247) + our auroc extra
+        assert {"loss", "accuracy", "weighted_precision",
+                "weighted_recall",
+                "weighted_f1_score"} <= set(m.keys())
+        assert "auroc" in m
 
     md = tmp_path / "results/metrics"
     assert (md / f"{strategy}_cv_summary.json").exists()

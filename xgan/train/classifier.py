@@ -140,7 +140,11 @@ def make_eval_step(model, *, dtype=jnp.float32, batch_sharding=None,
                                                        batch_sharding)
         imgs = normalize_images(imgs_u8, dtype=dtype)
         logits = model.apply(variables, imgs, train=False)
-        return softmax_ce(logits, labels), jnp.argmax(logits, -1), labels
+        # positive-class probability, for AUROC (north-star metric; the
+        # reference computes only acc/P/R/F1, train_classifier.py:239)
+        prob1 = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+        return (softmax_ce(logits, labels), jnp.argmax(logits, -1),
+                labels, prob1)
 
     if not jit_compile:
         return step

@@ -91,38 +91,50 @@ def _epoch_pass(step_fn, state, device_stores, batches, ratio, key,
 
 
 def _eval_pass(eval_fn, variables, store: DeviceStore, batches, n_samples):
-    losses_acc, preds_acc, labels_acc = [], [], []
+    losses_acc, preds_acc, labels_acc, probs_acc = [], [], [], []
     for i in range(batches.shape[0]):
-        losses, preds, labels = eval_fn(variables, store.images,
-                                        jnp.asarray(batches[i]),
-                                        store.labels)
+        losses, preds, labels, probs = eval_fn(variables, store.images,
+                                               jnp.asarray(batches[i]),
+                                               store.labels)
         losses_acc.append(losses)
         preds_acc.append(preds)
         labels_acc.append(labels)
+        probs_acc.append(probs)
     losses = np.concatenate(jax.device_get(losses_acc))[:n_samples]
     preds = np.concatenate(jax.device_get(preds_acc))[:n_samples]
     labels = np.concatenate(jax.device_get(labels_acc))[:n_samples]
-    return losses, preds, labels
+    probs = np.concatenate(jax.device_get(probs_acc))[:n_samples]
+    return losses, preds, labels, probs
 
 
 def evaluate_model(eval_fn, variables, store: DeviceStore, batch_size,
                    rng=None):
-    """Test-set metrics dict (keys as in train_classifier.py:241-247)."""
+    """Test-set metrics dict: the reference's keys
+    (train_classifier.py:241-247) plus ``auroc`` (the BASELINE.json
+    north-star quality metric; extra JSON keys are schema-compatible)."""
     n = len(store)
     batches = epoch_batches(n, batch_size, np.random.default_rng(0),
                             shuffle=False)
-    losses, preds, labels = _eval_pass(eval_fn, variables, store, batches, n)
+    losses, preds, labels, probs = _eval_pass(eval_fn, variables, store,
+                                              batches, n)
     p, r, f = weighted_prf(labels, preds)
+    try:
+        from sklearn.metrics import roc_auc_score
+        auroc = float(roc_auc_score(labels, probs))
+    except ValueError:  # single-class eval set (tiny fixtures)
+        auroc = 0.5
     metrics = {
         "loss": float(losses.mean()),
         "accuracy": float(accuracy_score(labels, preds)),
         "weighted_precision": p,
         "weighted_recall": r,
         "weighted_f1_score": f,
+        "auroc": auroc,
     }
     print(f"Evaluation Results - Loss: {metrics['loss']:.4f}, "
           f"Accuracy: {metrics['accuracy']:.4f}, "
-          f"Weighted F1: {metrics['weighted_f1_score']:.4f}")
+          f"Weighted F1: {metrics['weighted_f1_score']:.4f}, "
+          f"AUROC: {metrics['auroc']:.4f}")
     return metrics
 
 
@@ -206,7 +218,7 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
             n_val_seen = n_val
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        v_losses, v_preds, v_labels = _eval_pass(
+        v_losses, v_preds, v_labels, _ = _eval_pass(
             eval_step, variables, val_store, val_batches, n_val_seen)
         val_loss = float(v_losses.mean())
         val_acc = float(accuracy_score(v_labels, v_preds))

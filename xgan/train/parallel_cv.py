@@ -122,7 +122,7 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
                         "batch_stats": stacked.batch_stats}
         vl_acc, vp_acc, vlab_acc = [], [], []
         for i in range(val_batches.shape[0]):
-            losses, preds, labels = eval_step(
+            losses, preds, labels, _ = eval_step(
                 stacked_vars, real_dev.images, jnp.asarray(val_batches[i]),
                 real_dev.labels)
             vl_acc.append(losses)
