@@ -70,15 +70,25 @@ def main():
         return step(g_state, d_state, images, idx, jax.random.fold_in(
             jax.random.key(2), i))
 
-    for i in range(WARMUP):
-        g_state, d_state, metrics = run(i)
-    jax.block_until_ready(metrics)
+    # Chain-slope timing with a device_get (true host sync) at the end of
+    # each chain: dependent steps cannot be deduplicated or reordered, and
+    # the slope between two chain lengths cancels the remote tunnel's
+    # large, variable dispatch/sync overhead. (block_until_ready is NOT a
+    # reliable sync on this remote backend — see CLAUDE.md.)
+    def chain(n, base):
+        nonlocal g_state, d_state
+        metrics = None
+        t0 = time.time()
+        for i in range(n):
+            g_state, d_state, metrics = run(base + i)
+        np.asarray(jax.device_get(metrics))
+        return time.time() - t0
 
-    t0 = time.time()
-    for i in range(ITERS):
-        g_state, d_state, metrics = run(WARMUP + i)
-    jax.block_until_ready(metrics)
-    dt = (time.time() - t0) / ITERS
+    chain(WARMUP, 0)  # compile + warm
+    n_short, n_long = 5, 5 + ITERS * 2
+    t_short = chain(n_short, 100)
+    t_long = chain(n_long, 200)
+    dt = max((t_long - t_short) / (n_long - n_short), 1e-9)
     imgs_per_sec = batch / dt
 
     baseline = FALLBACK_BASELINE_IMGS_PER_SEC

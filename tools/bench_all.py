@@ -21,15 +21,26 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=20, warmup=3):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+    """Chain-slope timing with device_get as the true sync.
+
+    Every bench fn threads its states (dependency chain), so timing two
+    chain lengths and taking the slope yields the per-step cost free of
+    the remote tunnel's dispatch/sync overhead; block_until_ready is not
+    a reliable sync on this backend (CLAUDE.md).
+    """
+    def chain(n):
+        out = None
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*args)
+        np.asarray(jax.device_get(out))
+        return time.time() - t0
+
+    chain(warmup)  # compile + warm
+    n_short, n_long = 3, 3 + iters
+    t_short = chain(n_short)
+    t_long = chain(n_long)
+    return max((t_long - t_short) / (n_long - n_short), 1e-9)
 
 
 def bench_dcgan(mesh_ctx, dtype, size, batch):
