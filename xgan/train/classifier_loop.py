@@ -244,6 +244,30 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
     return best_vars, history
 
 
+def _load_completed_fold(args, fold, strategy, dtype):
+    """Fold-level resume: if a fold's history JSON and best checkpoint
+    already exist (a prior interrupted CV run), load them instead of
+    retraining. Returns (variables, history) or None."""
+    import json
+    hist_path = os.path.join(
+        args.results_dir, f"fold_{fold}_{strategy}_training_history.json")
+    ckpt_path = os.path.join(args.model_dir,
+                             f"fold_{fold}_{strategy}_resnet50.msgpack")
+    if not (os.path.exists(hist_path) and os.path.exists(ckpt_path)):
+        return None
+    with open(hist_path) as f:
+        history = json.load(f)
+    if len(history.get("epoch", [])) < args.epochs:
+        return None  # fold was itself interrupted; retrain it
+    from xgan.io_.checkpoint import load_variables
+    model = ResNet50(num_classes=2, dtype=dtype)
+    like = model.init(jax.random.key(0),
+                      jnp.zeros((1, args.image_size, args.image_size, 3)),
+                      train=False)
+    like = {"params": like["params"], "batch_stats": like["batch_stats"]}
+    return load_variables(ckpt_path, like), history
+
+
 def train_classifier(args):
     """Top-level flow (reference train_classifier.py:515-694)."""
     check_create_dir(args.model_dir)
@@ -339,13 +363,21 @@ def train_classifier(args):
         kf = KFold(n_splits=args.k_folds, shuffle=True,
                    random_state=KFOLD_SEED)
         fold_metrics, fold_histories = [], []
+        resume = getattr(args, "resume_from", "") == "auto"
         for fold, (tr_idx, val_idx) in enumerate(
                 kf.split(range(len(train_store)))):
             print(f"\n===== Fold {fold + 1} / {args.k_folds} =====")
-            best_vars, history = train_one_run(
-                args, mesh_ctx, dtype, stores, tr_idx,
-                (real_dev, val_idx), fold=fold + 1, strategy=strategy,
-                schedule=schedule, seed_offset=fold)
+            done = _load_completed_fold(args, fold + 1, strategy, dtype) \
+                if resume else None
+            if done is not None:
+                print(f"Resuming: fold {fold + 1} already trained; "
+                      "loading its checkpoint and history.")
+                best_vars, history = done
+            else:
+                best_vars, history = train_one_run(
+                    args, mesh_ctx, dtype, stores, tr_idx,
+                    (real_dev, val_idx), fold=fold + 1, strategy=strategy,
+                    schedule=schedule, seed_offset=fold)
             fold_histories.append(history)
             print(f"--- Evaluating Fold {fold + 1} Model on Test Set ---")
             metrics = evaluate_model(eval_step, best_vars, test_dev,
