@@ -62,7 +62,11 @@ def load_metrics(metrics_dir: str, prefix: str,
     if hist_path.exists():
         metrics["history"] = json.loads(hist_path.read_text())
     else:
+        # no CV summary and no history -> the run is excluded entirely,
+        # like the reference's essential_missing path
+        # (analyze_results.py:123-140)
         print(f"Warning: training history not found: {hist_path}")
+        return None
     final_path = metrics_dir / f"{prefix}final_metrics.json"
     if final_path.exists():
         metrics["final"] = json.loads(final_path.read_text())

@@ -96,7 +96,7 @@ def save_image_grid(images_u8: np.ndarray, path: str, nrow: int = 8,
     from PIL import Image
     import os
     b, s, _, c = images_u8.shape
-    ncol = nrow
+    ncol = min(b, nrow)
     nrows = (b + ncol - 1) // ncol
     canvas = np.full((nrows * (s + pad) + pad, ncol * (s + pad) + pad, c),
                      255, np.uint8)

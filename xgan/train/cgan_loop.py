@@ -137,6 +137,13 @@ def train_cgan(args):
     g_state, d_state = states["g"], states["d"]
     for _ in range(start_epoch):
         epoch_batches(len(store), batch_size, data_rng)
+    history_path = os.path.join(metrics_dir, "cgan_training_history.json")
+    if start_epoch and os.path.exists(history_path):
+        import json
+        with open(history_path) as f:
+            prior = json.load(f)
+        if set(prior.keys()) == set(history.keys()):
+            history = prior
     timer = StepTimer()
     start = time.time()
 
@@ -200,8 +207,7 @@ def train_cgan(args):
                    d_state.variables())
     print(f"Saved final models to {model_dir}")
 
-    write_json(os.path.join(metrics_dir, "cgan_training_history.json"),
-               history)
+    write_json(history_path, history)
     plot_cgan_losses(history,
                      os.path.join(figures_dir, "cgan_loss_curve.png"))
     return history

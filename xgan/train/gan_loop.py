@@ -118,6 +118,7 @@ def train_dcgan(args):
     history = {"G_losses_iter": [], "D_losses_iter": [], "D_x_iter": [],
                "D_G_z1_iter": [], "D_G_z2_iter": [],
                "G_losses_epoch": [], "D_losses_epoch": []}
+    history_path = os.path.join(metrics_dir, "gan_training_history.json")
 
     data_rng = np.random.default_rng(args.seed)
     snap_mgr = SnapshotManager(
@@ -126,9 +127,16 @@ def train_dcgan(args):
         getattr(args, "resume_from", ""),
         {"g": g_state, "d": d_state})
     g_state, d_state = states["g"], states["d"]
-    # replay the data-order RNG to the resume point
+    # replay the data-order RNG to the resume point and keep the prior
+    # run's history so the final JSON covers every epoch
     for _ in range(start_epoch):
         epoch_batches(len(store), batch_size, data_rng)
+    if start_epoch and os.path.exists(history_path):
+        import json
+        with open(history_path) as f:
+            prior = json.load(f)
+        if set(prior.keys()) == set(history.keys()):
+            history = prior
 
     timer = StepTimer()
     start_time = time.time()
@@ -202,8 +210,7 @@ def train_dcgan(args):
                    d_state.variables())
     print(f"Saved final models to {gan_model_dir}")
 
-    write_json(os.path.join(metrics_dir, "gan_training_history.json"),
-               history)
+    write_json(history_path, history)
     plot_gan_losses(history,
                     os.path.join(figures_dir, "gan_loss_curve.png"))
     return history

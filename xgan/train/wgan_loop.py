@@ -94,6 +94,13 @@ def train_wgan(args):
     g_state, c_state = states["g"], states["c"]
     for _ in range(start_epoch):
         epoch_batches(len(store), batch_size, data_rng)
+    history_path = os.path.join(metrics_dir, "wgan_training_history.json")
+    if start_epoch and os.path.exists(history_path):
+        import json
+        with open(history_path) as f:
+            prior = json.load(f)
+        if set(prior.keys()) == set(history.keys()):
+            history = prior
     timer = StepTimer()
 
     for epoch in range(start_epoch, args.epochs):
@@ -148,8 +155,7 @@ def train_wgan(args):
     save_variables(os.path.join(model_dir, "discriminator_final.msgpack"),
                    c_state.variables())
     print("Saved final models.")
-    write_json(os.path.join(metrics_dir, "wgan_training_history.json"),
-               history)
+    write_json(history_path, history)
     plot_wgan_losses(history,
                      os.path.join(figures_dir, "wgan_loss_curve.png"))
     return history
