@@ -23,8 +23,6 @@ Update-order parity with the reference loop:
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -100,27 +98,3 @@ def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
 
     donate_args = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
-
-
-def make_sampler(g_model, *, latent_dim: int, batch_sharding=None):
-    """Jitted eval-mode sampler: (g_variables, key, B) -> uint8 images.
-
-    Uses BN *running* statistics — the analog of the reference's
-    ``netG.eval()`` sampling (generate_synthetic.py:34-48) — and applies
-    the reference's x*0.5+0.5 export transform on device.
-    """
-    from xgan.data.pipeline import tanh_to_u8
-
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def sample(g_variables, key, batch: int):
-        z = jax.random.normal(key, (batch, latent_dim), jnp.float32)
-        if batch_sharding is not None:
-            z = jax.lax.with_sharding_constraint(
-                z, jax.sharding.NamedSharding(
-                    batch_sharding.mesh,
-                    jax.sharding.PartitionSpec(
-                        batch_sharding.spec[0], None)))
-        imgs = g_model.apply(g_variables, z, train=False)
-        return tanh_to_u8(imgs)
-
-    return sample
