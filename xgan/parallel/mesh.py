@@ -16,6 +16,12 @@ Here the same slot is a first-class mesh abstraction:
 Tests emulate an 8-device mesh on CPU via
 ``XLA_FLAGS=--xla_force_host_platform_device_count=8`` (see tests/conftest.py);
 the same code runs unchanged on a real v5e slice.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``create_mesh``
+and it spans all hosts' devices (jax.devices() is global). The only
+host-local adjustment needed is building global arrays from per-host data
+(``jax.make_array_from_process_local_data``) in DeviceStore — single-slice
+v5e-8 (the BASELINE.json target) needs none of this.
 """
 from __future__ import annotations
 
