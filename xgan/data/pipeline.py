@@ -91,6 +91,17 @@ def tanh_to_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(y * 255.0).astype(jnp.uint8)
 
 
+def minmax_to_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """Global min-max rescale -> uint8, the reference's SAMPLE-SHEET
+    transform (torchvision save_image(normalize=True),
+    train_gan.py:169) — used for visualization grids only; exports use
+    tanh_to_u8."""
+    x = x.astype(jnp.float32)
+    lo, hi = jnp.min(x), jnp.max(x)
+    y = (x - lo) / jnp.maximum(hi - lo, 1e-12)
+    return jnp.round(y * 255.0).astype(jnp.uint8)
+
+
 class DeviceStore:
     """An ImageStore pushed to device HBM (replicated over the mesh)."""
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xgan.data.pipeline import DeviceStore, epoch_batches, tanh_to_u8
+from xgan.data.pipeline import DeviceStore, epoch_batches, minmax_to_u8
 from xgan.io_.checkpoint import save_variables
 from xgan.io_.figures import plot_cgan_losses, save_image_grid
 from xgan.io_.metrics import write_json
@@ -121,7 +121,7 @@ def train_cgan(args):
     def sample_grid(path):
         imgs = g_model.apply(g_state.variables(), fixed_noise,
                              fixed_labels, train=False)
-        save_image_grid(np.asarray(jax.device_get(tanh_to_u8(imgs))), path,
+        save_image_grid(np.asarray(jax.device_get(minmax_to_u8(imgs))), path,
                         nrow=8)
 
     history = {"G_losses_iter": [], "D_losses_iter": [], "D_x_iter": [],

@@ -111,8 +111,10 @@ def train_dcgan(args):
 
     def sample_grid(path):
         imgs = g_model.apply(g_state.variables(), fixed_noise, train=False)
-        from xgan.data.pipeline import tanh_to_u8
-        save_image_grid(np.asarray(jax.device_get(tanh_to_u8(imgs))), path,
+        # min-max normalized like the reference's sample sheets
+        # (save_image(normalize=True), train_gan.py:169)
+        from xgan.data.pipeline import minmax_to_u8
+        save_image_grid(np.asarray(jax.device_get(minmax_to_u8(imgs))), path,
                         nrow=8)
 
     history = {"G_losses_iter": [], "D_losses_iter": [], "D_x_iter": [],

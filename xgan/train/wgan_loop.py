@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xgan.data.pipeline import DeviceStore, epoch_batches, tanh_to_u8
+from xgan.data.pipeline import DeviceStore, epoch_batches, minmax_to_u8
 from xgan.io_.checkpoint import save_variables
 from xgan.io_.figures import plot_wgan_losses, save_image_grid
 from xgan.io_.metrics import write_json
@@ -80,7 +80,7 @@ def train_wgan(args):
 
     def sample_grid(path):
         imgs = g_model.apply(g_state.variables(), fixed_noise, train=False)
-        save_image_grid(np.asarray(jax.device_get(tanh_to_u8(imgs))), path,
+        save_image_grid(np.asarray(jax.device_get(minmax_to_u8(imgs))), path,
                         nrow=8)
 
     history = {"D_losses": [], "G_losses": [], "D_losses_epoch": [],
