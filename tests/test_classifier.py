@@ -90,7 +90,7 @@ def _clf_args(fake_dataset, tmp_path, **over):
         curriculum_schedule="0:0.0, 5:0.25, 10:0.5", pretrained_path="",
         image_size=32, seed=0, compute_dtype="f32",
         cache_dir=str(tmp_path / "cache"), limit_batches=2, trace_dir="",
-        cpu=True)
+        cpu=True, resnet_stages=(1, 1, 1, 1))
     base.update(over)
     return argparse.Namespace(**base)
 

@@ -18,7 +18,7 @@ def _args(fake_dataset, tmp_path, **over):
         curriculum_schedule="", pretrained_path="", parallel_folds=False,
         image_size=32, seed=0, compute_dtype="f32",
         cache_dir=str(tmp_path / "cache"), limit_batches=1, trace_dir="",
-        resume_from="", cpu=True)
+        resume_from="", cpu=True, resnet_stages=(1, 1, 1, 1))
     base.update(over)
     return argparse.Namespace(**base)
 

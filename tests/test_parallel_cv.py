@@ -55,7 +55,7 @@ def test_parallel_cv_end_to_end(fake_dataset, tmp_path, strategy):
         curriculum_schedule="0:0.5", pretrained_path="",
         parallel_folds=True, image_size=32, seed=0, compute_dtype="f32",
         cache_dir=str(tmp_path / "cache"), limit_batches=2, trace_dir="",
-        cpu=True)
+        cpu=True, resnet_stages=(1, 1, 1, 1))
     summary = train_classifier(args)
     assert len(summary["folds"]) == 2
     md = tmp_path / "results/metrics"

@@ -47,8 +47,16 @@ from xgan.utils import check_create_dir
 KFOLD_SEED = 42  # split parity with reference data_loader.py:239
 
 
+def _resnet_stages(args):
+    """Hidden override for tests/debug: shrinks the bottleneck stage sizes
+    (full ResNet-50 = (3, 4, 6, 3)). Long single-process CPU test runs can
+    hit an XLA abort compiling many full-size vmapped programs."""
+    return tuple(getattr(args, "resnet_stages", ()) or (3, 4, 6, 3))
+
+
 def _init_resnet(args, dtype, rng):
-    model = ResNet50(num_classes=2, dtype=dtype)
+    model = ResNet50(num_classes=2, dtype=dtype,
+                     stage_sizes=_resnet_stages(args))
     variables = model.init(
         rng, jnp.zeros((2, args.image_size, args.image_size, 3)),
         train=False)
@@ -260,7 +268,8 @@ def _load_completed_fold(args, fold, strategy, dtype):
     if len(history.get("epoch", [])) < args.epochs:
         return None  # fold was itself interrupted; retrain it
     from xgan.io_.checkpoint import load_variables
-    model = ResNet50(num_classes=2, dtype=dtype)
+    model = ResNet50(num_classes=2, dtype=dtype,
+                     stage_sizes=_resnet_stages(args))
     like = model.init(jax.random.key(0),
                       jnp.zeros((1, args.image_size, args.image_size, 3)),
                       train=False)
@@ -331,7 +340,8 @@ def train_classifier(args):
     test_dev = DeviceStore(test_store, mesh_ctx)
     stores = (real_dev, synth_dev, test_dev)
 
-    eval_model = ResNet50(num_classes=2, dtype=dtype)
+    eval_model = ResNet50(num_classes=2, dtype=dtype,
+                          stage_sizes=_resnet_stages(args))
     eval_step = make_eval_step(eval_model, dtype=dtype,
                                batch_sharding=mesh_ctx.batch_sharding(4))
     batch_size = mesh_ctx.pad_batch(args.batch_size)
