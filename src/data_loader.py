@@ -91,14 +91,26 @@ def main():
         s_images = jnp.asarray(np.ascontiguousarray(synth.images))
         s_labels = jnp.asarray(synth.labels)
         if mode in ("augmented", "kfold_augmented"):
-            space = np.concatenate([np.arange(len(store)),
-                                    len(store) + np.arange(len(synth))])
+            if mode == "kfold_augmented":
+                kf = KFold(n_splits=args.k_folds, shuffle=True,
+                           random_state=KFOLD_SEED)
+                for fold, (tr, va) in enumerate(
+                        kf.split(range(len(store)))):
+                    print(f"Fold {fold + 1} - Train size: "
+                          f"{len(tr) + len(synth)} (Original: {len(tr)}, "
+                          f"Synthetic: {len(synth)}), Val size: {len(va)}")
+                space = np.concatenate([tr, len(store)
+                                        + np.arange(len(synth))])
+            else:
+                space = np.concatenate([np.arange(len(store)),
+                                        len(store) + np.arange(len(synth))])
             batch = epoch_batches(len(space), args.batch_size, rng,
                                   indices=space)[0]
             imgs, labs = gather_concat(images, labels, s_images, s_labels,
                                        jnp.asarray(batch))
             show_batch(f"{mode} batch (concat space "
-                       f"{len(store)}+{len(synth)})", imgs, labs)
+                       f"{len(space) - len(synth)}+{len(synth)})",
+                       imgs, labs)
         else:  # phased_kfold
             for ratio in (0.0, 0.5, 1.0):
                 batch = epoch_batches(len(store), args.batch_size, rng)[0]
