@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Batch inference with a trained classifier checkpoint (beyond-reference
+capability: the reference pipeline can train and analyze but has no
+standalone prediction entry point).
+
+Classifies every PNG in --input-dir with a {prefix}resnet50.msgpack
+checkpoint and writes predictions.json: per-image predicted label and
+positive-class probability, plus summary counts. Decoding uses the native
+threaded codec; inference is a jitted, mesh-sharded eval step.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Classify a folder of chest X-ray PNGs with a trained "
+                    "xgan ResNet-50 checkpoint")
+    p.add_argument("--model-path", type=str, required=True,
+                   help="e.g. models/baseline_resnet50.msgpack")
+    p.add_argument("--input-dir", type=str, required=True)
+    p.add_argument("--output", type=str, default="predictions.json")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
+    from xgan import config
+    config.apply_device_flag(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgan.data.pipeline import normalize_images
+    from xgan.io_.checkpoint import load_variables
+    from xgan.models.resnet import ResNet50
+    from xgan.native import decode_png_batch
+    from xgan.parallel import create_mesh
+
+    files = sorted(f for f in os.listdir(args.input_dir)
+                   if f.endswith(".png"))
+    if not files:
+        print(f"No PNGs found in {args.input_dir}")
+        sys.exit(1)
+    print(f"Classifying {len(files)} images from {args.input_dir}")
+
+    model = ResNet50(num_classes=2)
+    like = model.init(jax.random.key(0),
+                      jnp.zeros((1, args.image_size, args.image_size, 3)),
+                      train=False)
+    variables = load_variables(args.model_path,
+                               {"params": like["params"],
+                                "batch_stats": like["batch_stats"]})
+
+    mesh_ctx = create_mesh()
+    batch = mesh_ctx.pad_batch(args.batch_size)
+    variables = mesh_ctx.replicate(variables)
+
+    @jax.jit
+    def infer(vs, imgs_u8):
+        logits = model.apply(vs, normalize_images(imgs_u8), train=False)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.argmax(logits, -1), probs[:, 1]
+
+    preds, probs = [], []
+    for start in range(0, len(files), batch):
+        chunk = files[start:start + batch]
+        paths = [os.path.join(args.input_dir, f) for f in chunk]
+        imgs = decode_png_batch(paths, args.image_size)
+        if imgs.shape[0] < batch:  # static-shape pad, dropped below
+            pad = np.repeat(imgs[-1:], batch - imgs.shape[0], axis=0)
+            imgs = np.concatenate([imgs, pad])
+        p, pr = infer(variables, mesh_ctx.shard_array(imgs))
+        preds.extend(np.asarray(p)[:len(chunk)].tolist())
+        probs.extend(np.asarray(pr)[:len(chunk)].tolist())
+
+    results = {
+        "model": args.model_path,
+        "num_images": len(files),
+        "positive": int(sum(preds)),
+        "negative": int(len(preds) - sum(preds)),
+        "predictions": [
+            {"file": f, "label": int(l), "prob_positive": round(pp, 6)}
+            for f, l, pp in zip(files, preds, probs)],
+    }
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"{results['positive']}/{len(files)} predicted positive; "
+          f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
