@@ -66,8 +66,8 @@ def mixed_gather(real_u8: jnp.ndarray, synth_u8: jnp.ndarray,
         num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, rows, 128), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
