@@ -86,9 +86,13 @@ def main():
 
     chain(WARMUP, 0)  # compile + warm
     n_short, n_long = 5, 5 + ITERS * 2
-    t_short = chain(n_short, 100)
-    t_long = chain(n_long, 200)
-    dt = max((t_long - t_short) / (n_long - n_short), 1e-9)
+    slopes = []
+    for rep in range(3):  # median of 3 estimates: the tunnel is noisy
+        t_short = chain(n_short, 100 + 1000 * rep)
+        t_long = chain(n_long, 200 + 1000 * rep)
+        slopes.append(max((t_long - t_short) / (n_long - n_short), 1e-9))
+    slopes.sort()
+    dt = slopes[1]
     imgs_per_sec = batch / dt
 
     baseline = FALLBACK_BASELINE_IMGS_PER_SEC
