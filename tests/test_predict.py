@@ -1,0 +1,52 @@
+"""predict.py CLI: classify a folder with a saved checkpoint."""
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "src")
+
+
+def test_predict_cli(tmp_path, fake_dataset):
+    from xgan.io_.checkpoint import save_variables
+    from xgan.models.resnet import ResNet50
+
+    model = ResNet50(num_classes=2)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    ckpt = str(tmp_path / "baseline_resnet50.msgpack")
+    save_variables(ckpt, {"params": variables["params"],
+                          "batch_stats": variables["batch_stats"]})
+
+    out = str(tmp_path / "preds.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SRC, "predict.py"), "--cpu",
+         "--model-path", ckpt,
+         "--input-dir", os.path.join(fake_dataset["data_dir"], "Test"),
+         "--output", out, "--image-size", "32", "--batch-size", "4"],
+        capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    data = json.loads(open(out).read())
+    assert data["num_images"] == fake_dataset["n_test"]
+    assert data["positive"] + data["negative"] == data["num_images"]
+    assert len(data["predictions"]) == data["num_images"]
+    p0 = data["predictions"][0]
+    assert set(p0.keys()) == {"file", "label", "prob_positive"}
+    assert 0.0 <= p0["prob_positive"] <= 1.0
+
+
+def test_predict_cli_empty_dir(tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    r = subprocess.run(
+        [sys.executable, os.path.join(SRC, "predict.py"), "--cpu",
+         "--model-path", "whatever.msgpack", "--input-dir", str(empty)],
+        capture_output=True, text=True, timeout=200)
+    assert r.returncode == 1
+    assert "No PNGs found" in r.stdout
