@@ -1,6 +1,21 @@
-"""Driver entry points stay working: entry() compiles, dryrun executes."""
+"""Driver entry points stay working: entry() compiles, dryrun executes.
+
+Includes the round-2 hermeticity guard (VERDICT.md "Next round" #1): the
+driver's exact ordering — entry() then dryrun_multichip(8) in ONE process
+whose default platform is a *poisoned* TPU plugin — must succeed without
+ever dispatching on the default backend. Poisoning: with
+``PALLAS_AXON_POOL_IPS`` removed, this environment's sitecustomize never
+registers the axon plugin, so ``JAX_PLATFORMS=axon`` makes every
+default-backend access raise; only explicitly-CPU-pinned work survives.
+"""
+import os
+import pathlib
+import subprocess
+import sys
+
 import jax
-import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
 def test_dryrun_multichip_8():
@@ -13,3 +28,28 @@ def test_entry_compiles_single_device():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (8,)
+
+
+def test_driver_ordering_survives_poisoned_default_backend():
+    """entry() -> lower -> dryrun_multichip(8) with a dead TPU plugin.
+
+    Reproduces MULTICHIP_r01's failure mode (eager dispatch on a broken
+    default TPU client after entry() ran) and asserts the round-2 fix:
+    everything that must not depend on the TPU stays on the CPU client.
+    """
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize skips register()
+    env["JAX_PLATFORMS"] = "axon"          # the production pin stays
+    script = (
+        "import __graft_entry__ as ge\n"
+        "fn, args = ge.entry()\n"
+        "import jax\n"
+        "jax.jit(fn).lower(*args)\n"
+        "ge.dryrun_multichip(8)\n"
+        "print('HERMETIC_OK')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", script], cwd=REPO_ROOT,
+                       env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+    assert "HERMETIC_OK" in r.stdout
+    assert "dryrun_multichip OK on 8 cpu devices" in r.stdout
