@@ -23,14 +23,16 @@ def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
               real_idx: jnp.ndarray,
               synth_images_u8: jnp.ndarray, synth_labels: jnp.ndarray,
               ratio: jnp.ndarray, key, *,
-              use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              use_pallas: bool = False,
+              sharding=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns a mixed uint8 batch and its labels.
 
     real_images_u8: (N_r, S, S, 3) store; real_idx: (B,) this batch's rows.
     synth_images_u8: (N_s, S, S, 3) store (non-empty).
     ratio: scalar in [0,1] — expected synthetic fraction.
-    use_pallas: single-DMA-per-sample gather kernel (single-device TPU
-    path; the XLA path does two gathers + select).
+    use_pallas: single-DMA-per-sample gather kernel (TPU path; the XLA
+    path does two gathers + select). With ``sharding`` (the batch
+    NamedSharding) it is shard_mapped over the data axis for SPMD.
     """
     k_mask, k_pick = jax.random.split(key)
     b = real_idx.shape[0]
@@ -39,9 +41,10 @@ def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
                                    synth_images_u8.shape[0])
 
     if use_pallas:
-        from xgan.ops.pallas.gather import mixed_gather
-        images = mixed_gather(real_images_u8, synth_images_u8, real_idx,
-                              synth_idx, use_synth)
+        from xgan.ops.pallas.gather import mixed_gather_spmd
+        images = mixed_gather_spmd(real_images_u8, synth_images_u8,
+                                   real_idx, synth_idx, use_synth,
+                                   sharding=sharding)
     else:
         real_batch = jnp.take(real_images_u8, real_idx, axis=0)
         synth_batch = jnp.take(synth_images_u8, synth_idx, axis=0)

@@ -42,6 +42,39 @@ def _mixed_gather_kernel(ridx_ref, sidx_ref, mask_ref, real_ref, synth_ref,
         cp.wait()
 
 
+def mixed_gather_spmd(real_u8: jnp.ndarray, synth_u8: jnp.ndarray,
+                      real_idx: jnp.ndarray, synth_idx: jnp.ndarray,
+                      use_synth: jnp.ndarray, *, sharding=None,
+                      interpret: bool = False) -> jnp.ndarray:
+    """``mixed_gather`` that also runs under SPMD.
+
+    The pallas custom call does not auto-partition under jit-with-sharding
+    (round-1 limitation: the kernel was gated to single-device). Here the
+    kernel is wrapped in ``jax.shard_map`` over the batch-sharding's data
+    axis: stores stay replicated on every device, each device runs the
+    kernel on its local batch rows, and the output comes back sharded
+    exactly like the XLA two-gather+select it replaces.
+
+    ``sharding``: the batch NamedSharding (dim 0 = data axis) or None for
+    the plain single-program call.
+    """
+    if sharding is None:
+        return mixed_gather(real_u8, synth_u8, real_idx, synth_idx,
+                            use_synth, interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+    mesh = sharding.mesh
+    axis = sharding.spec[0]
+    if axis is None or mesh.shape[axis] == 1:
+        return mixed_gather(real_u8, synth_u8, real_idx, synth_idx,
+                            use_synth, interpret=interpret)
+    fn = functools.partial(mixed_gather, interpret=interpret)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False,
+    )(real_u8, synth_u8, real_idx, synth_idx, use_synth)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mixed_gather(real_u8: jnp.ndarray, synth_u8: jnp.ndarray,
                  real_idx: jnp.ndarray, synth_idx: jnp.ndarray,

@@ -44,22 +44,24 @@ def softmax_ce(logits, labels):
 
 
 def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
-                  *, use_pallas: bool = False):
+                  *, use_pallas: bool = False, sharding=None):
     """Virtual ConcatDataset gather: idx < n_real -> real, else synthetic.
 
     Mirrors ConcatDataset([real_subset, synthetic]) ordering
     (data_loader.py:575,:642) without materializing a combined array.
     ``use_pallas`` switches to the single-DMA-per-sample kernel
-    (xgan.ops.pallas.gather) on the single-device TPU path.
+    (xgan.ops.pallas.gather); with ``sharding`` set it runs shard_mapped
+    over the batch axis, so it also works under SPMD.
     """
     n_real = real_u8.shape[0]
     is_real = idx < n_real
     r_idx = jnp.where(is_real, idx, 0)
     s_idx = jnp.where(is_real, 0, idx - n_real)
     if use_pallas:
-        from xgan.ops.pallas.gather import mixed_gather
-        imgs = mixed_gather(real_u8, synth_u8, r_idx, s_idx,
-                            jnp.logical_not(is_real))
+        from xgan.ops.pallas.gather import mixed_gather_spmd
+        imgs = mixed_gather_spmd(real_u8, synth_u8, r_idx, s_idx,
+                                 jnp.logical_not(is_real),
+                                 sharding=sharding)
     else:
         imgs = jnp.where(is_real[:, None, None, None],
                          jnp.take(real_u8, r_idx, axis=0),
@@ -78,8 +80,8 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
     key) -> (state, per_sample_loss (B,), preds (B,), labels (B,)).
     For 'real' and 'concat' the ratio argument is ignored.
     ``use_pallas_gather`` enables the single-DMA mixed-source gather
-    kernel (single-device TPU only; under SPMD the XLA gather partitions
-    automatically while the custom call would not).
+    kernel (TPU backend; under SPMD it is shard_mapped over the batch
+    axis of ``batch_sharding`` — each device gathers its local rows).
     ``jit_compile=False`` returns the raw traceable function (for the
     parallel-folds vmap wrapper).
     """
@@ -91,11 +93,13 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
         elif mode == "concat":
             imgs, labels = gather_concat(real_u8, real_labels, synth_u8,
                                          synth_labels, idx,
-                                         use_pallas=use_pallas_gather)
+                                         use_pallas=use_pallas_gather,
+                                         sharding=batch_sharding)
         elif mode == "mix":
             imgs, labels = mix_batch(real_u8, real_labels, idx, synth_u8,
                                      synth_labels, ratio, key,
-                                     use_pallas=use_pallas_gather)
+                                     use_pallas=use_pallas_gather,
+                                     sharding=batch_sharding)
         else:
             raise ValueError(mode)
         return imgs, labels

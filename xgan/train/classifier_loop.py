@@ -166,8 +166,10 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
     state = mesh_ctx.replicate(state)
 
     bsh = mesh_ctx.batch_sharding(4)
-    use_pallas = (jax.default_backend() == "tpu"
-                  and mesh_ctx.n_devices == 1 and mode != "real")
+    # SPMD-safe since round 2: the kernel shard_maps over the batch axis
+    # (xgan/ops/pallas/gather.py:mixed_gather_spmd), so multi-device
+    # meshes keep the single-DMA-per-sample path too.
+    use_pallas = jax.default_backend() == "tpu" and mode != "real"
     train_step = make_train_step(model, tx, mode=mode, dtype=dtype,
                                  batch_sharding=bsh,
                                  use_pallas_gather=use_pallas)
