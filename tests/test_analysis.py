@@ -95,6 +95,47 @@ def test_analyzer_end_to_end_on_reference_metrics(tmp_path):
     assert (out / "comparison_acc.png").exists()
 
 
+def test_eigen_smooth_matches_numpy_svd_golden():
+    """eigen_smooth_2d (power iteration on the Gram matrix) == the
+    pytorch_grad_cam get_2d_projection algorithm, written out in numpy:
+    center the (H*W, C) weighted activations per channel and project onto
+    the first right singular vector (reference analyze_results.py:550-552
+    passes eigen_smooth=True). Both sides get the same deterministic sign
+    convention (align with the channel-sum map) since SVD sign is
+    arbitrary."""
+    from xgan.analysis import eigen_smooth_2d
+
+    rng = np.random.default_rng(7)
+    h, w, c = 7, 7, 64
+    weighted = rng.normal(size=(h, w, c)).astype(np.float32)
+    # add a dominant rank-1 spatial structure so the top component is
+    # well-separated (power iteration converges fast)
+    spatial = rng.normal(size=(h, w, 1)).astype(np.float32)
+    chan = rng.normal(size=(1, 1, c)).astype(np.float32)
+    weighted = weighted + 4.0 * spatial * chan
+
+    # numpy reference: the library's get_2d_projection
+    x = weighted.reshape(h * w, c)
+    xc = x - x.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(xc, full_matrices=True)
+    proj_np = (xc @ vt[0]).reshape(h, w)
+    if np.dot(proj_np.ravel(), x.sum(axis=1)) < 0:  # same sign convention
+        proj_np = -proj_np
+
+    proj = np.asarray(eigen_smooth_2d(jnp.asarray(weighted)))
+    np.testing.assert_allclose(proj, proj_np, rtol=1e-4, atol=1e-4)
+
+
+def test_eigen_smooth_degenerate_shapes():
+    """1x1 feature maps (32px inputs) and all-zero maps don't blow up."""
+    from xgan.analysis import eigen_smooth_2d
+
+    out = np.asarray(eigen_smooth_2d(jnp.ones((1, 1, 16))))
+    assert out.shape == (1, 1) and np.isfinite(out).all()
+    out = np.asarray(eigen_smooth_2d(jnp.zeros((4, 4, 8))))
+    assert out.shape == (4, 4) and np.isfinite(out).all()
+
+
 def test_gradcam_on_trained_checkpoint(tmp_path, fake_dataset):
     """Grad-CAM panel generation from a real (tiny) checkpoint."""
     import jax

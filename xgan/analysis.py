@@ -303,22 +303,66 @@ def calculate_ssim_distribution(data_dir: str, synthetic_dir: str,
     return scores
 
 
-def grad_cam_resnet(model, variables, image_normed: np.ndarray):
+def eigen_smooth_2d(weighted_hwc, n_iter: int = 64):
+    """First-principal-component projection of the weighted activation map
+    — pytorch_grad_cam's ``eigen_smooth=True``
+    (reference analyze_results.py:550-552; library semantics: reshape the
+    (C, H, W) weighted activations to (H*W, C), center each channel, and
+    project the rows onto the first right singular vector).
+
+    TPU-native form: power iteration on the tiny (HW, HW) Gram matrix —
+    a handful of matmuls instead of a host SVD. The SVD sign ambiguity
+    (the library's maps occasionally come out inverted) is resolved
+    deterministically by aligning the projection with the channel-sum
+    (plain Grad-CAM) map; golden-tested against a numpy SVD reference in
+    tests/test_analysis.py.
+
+    weighted_hwc: (H, W, C) float array. Returns (H, W) float32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, w, c = weighted_hwc.shape
+    x = weighted_hwc.reshape(h * w, c).astype(jnp.float32)
+    row_sums = jnp.sum(x, axis=1)            # plain Grad-CAM map (flat)
+    x = x - jnp.mean(x, axis=0, keepdims=True)
+    gram = x @ x.T                           # (HW, HW), HW = 49 at 224px
+    u0 = jnp.ones((h * w,), jnp.float32) / np.sqrt(h * w)
+
+    def body(_, u):
+        v = gram @ u
+        return v / (jnp.linalg.norm(v) + 1e-12)
+
+    u = jax.lax.fori_loop(0, n_iter, body, u0)
+    proj = u * jnp.linalg.norm(x.T @ u)      # = x @ v_top, up to sign
+    sign = jnp.where(jnp.dot(proj, row_sums) < 0, -1.0, 1.0)
+    return (sign * proj).reshape(h, w)
+
+
+def grad_cam_resnet(model, variables, image_normed: np.ndarray, *,
+                    eigen_smooth: bool = True):
     """(pred_label, cam (H, W) in [0,1]) for one normalized image.
 
     Exact Grad-CAM for avgpool+fc heads: dscore/dA_k is constant over
-    space, equal to fc_w[k, class] / (H'*W'), so
-    cam = relu(sum_k fc_w[k, c] * A_k) up to a positive scale.
+    space, equal to fc_w[k, class] / (H'*W'), so the per-channel weighted
+    activations are fc_w[k, c] * A_k up to a positive scale.
+    ``eigen_smooth=True`` (the reference's actual setting,
+    analyze_results.py:550-552) replaces the channel sum with the first
+    principal component of the weighted activation map; False gives the
+    plain analytic CAM.
     """
     import jax.numpy as jnp
     logits, feats = model.apply(variables, image_normed[None],
                                 train=False, return_features=True)
     pred = int(jnp.argmax(logits[0]))
     fc_w = variables["params"]["fc"]["kernel"]       # (2048, num_classes)
-    cam = jnp.maximum(
-        jnp.einsum("hwc,c->hw", feats[0].astype(jnp.float32),
-                   fc_w[:, pred].astype(jnp.float32)), 0.0)
-    cam = np.asarray(cam)
+    weighted = (feats[0].astype(jnp.float32)
+                * fc_w[:, pred].astype(jnp.float32))  # (H', W', C)
+    if eigen_smooth:
+        cam = eigen_smooth_2d(weighted)
+    else:
+        cam = jnp.sum(weighted, axis=-1)
+    cam = np.asarray(jnp.maximum(cam, 0.0))
     if cam.max() > 0:
         cam = cam / cam.max()
     return pred, cam
