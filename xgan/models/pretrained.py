@@ -36,7 +36,8 @@ def _bn(sd, prefix):
     )
 
 
-def load_torch_resnet50(path: str, num_classes: int = 2):
+def load_torch_resnet50(path: str, num_classes: int = 2,
+                        stage_sizes=(3, 4, 6, 3)):
     """Returns (params, batch_stats) pytrees matching xgan.models.ResNet50.
 
     The checkpoint fc (1000-way ImageNet head) is dropped; the caller keeps
@@ -52,7 +53,7 @@ def load_torch_resnet50(path: str, num_classes: int = 2):
     params["stem"] = {"kernel": _conv(sd, "conv1.weight"), "bn": bn_p}
     stats["stem"] = {"bn": bn_s}
 
-    for stage, blocks in enumerate((3, 4, 6, 3), start=1):
+    for stage, blocks in enumerate(stage_sizes, start=1):
         for b in range(blocks):
             src = f"layer{stage}.{b}"
             dst = f"layer{stage}_{b}"
@@ -75,6 +76,67 @@ def load_torch_resnet50(path: str, num_classes: int = 2):
         params["fc"] = {"kernel": np.transpose(sd["fc.weight"], (1, 0)),
                         "bias": sd["fc.bias"]}
     return params, stats
+
+
+def save_torch_resnet50(path: str, params, batch_stats,
+                        stage_sizes=(3, 4, 6, 3)) -> None:
+    """Export our flax ResNet-50 variables as a torchvision ``resnet50``
+    state dict (.pth) — the exact inverse of :func:`load_torch_resnet50`.
+
+    The reference analyzer's Grad-CAM loads ``{prefix}resnet50.pth`` into
+    ``torchvision.models.resnet50`` with a 2-way head
+    (reference analyze_results.py:455-470, train_classifier.py:182-183);
+    writing this file alongside our msgpack checkpoints lets the
+    reference tooling run unchanged on our training runs.
+
+    Layout transposes mirror the importer: flax HWIO conv kernels ->
+    torch OIHW; fc kernel (in, out) -> (out, in). ``num_batches_tracked``
+    buffers (present in every torchvision BN) are written as zeros —
+    they only matter for momentum-free cumulative averaging, which
+    neither side uses.
+    """
+    import torch
+
+    def t(x):
+        # .copy(): jax-backed numpy views are non-writable; torch wants
+        # writable storage
+        return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+    sd = {}
+
+    def put_bn(prefix, bn_p, bn_s):
+        sd[f"{prefix}.weight"] = t(bn_p["scale"])
+        sd[f"{prefix}.bias"] = t(bn_p["bias"])
+        sd[f"{prefix}.running_mean"] = t(bn_s["mean"])
+        sd[f"{prefix}.running_var"] = t(bn_s["var"])
+        sd[f"{prefix}.num_batches_tracked"] = torch.zeros((), dtype=torch.long)
+
+    def put_conv(name, kernel):
+        sd[name] = t(np.transpose(np.asarray(kernel), (3, 2, 0, 1)))
+
+    put_conv("conv1.weight", params["stem"]["kernel"])
+    put_bn("bn1", params["stem"]["bn"], batch_stats["stem"]["bn"])
+
+    for stage, blocks in enumerate(stage_sizes, start=1):
+        for b in range(blocks):
+            src = f"layer{stage}_{b}"
+            dst = f"layer{stage}.{b}"
+            for i in (1, 2, 3):
+                put_conv(f"{dst}.conv{i}.weight",
+                         params[src][f"conv{i}"]["kernel"])
+                put_bn(f"{dst}.bn{i}", params[src][f"conv{i}"]["bn"],
+                       batch_stats[src][f"conv{i}"]["bn"])
+            if "downsample" in params[src]:
+                put_conv(f"{dst}.downsample.0.weight",
+                         params[src]["downsample"]["kernel"])
+                put_bn(f"{dst}.downsample.1",
+                       params[src]["downsample"]["bn"],
+                       batch_stats[src]["downsample"]["bn"])
+
+    sd["fc.weight"] = t(np.transpose(np.asarray(params["fc"]["kernel"]),
+                                     (1, 0)))
+    sd["fc.bias"] = t(params["fc"]["bias"])
+    torch.save(sd, path)
 
 
 # torchvision vgg16.features conv indices for the first three blocks.

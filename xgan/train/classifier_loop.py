@@ -157,6 +157,24 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
     mode = {"baseline": "real", "augmented": "concat",
             "curriculum": "mix"}[strategy]
 
+    synth_fallback = getattr(args, "_synth_fallback", False)
+    if mode == "mix" and synth_fallback:
+        # Reference PhasedAugmentedDataset empty-synthetic fallback
+        # (data_loader.py:527-536): a synthetic draw substitutes a random
+        # real POSITIVE from this run's train split (any real row if the
+        # split has no positives), with its own label. Expressed here as
+        # a fallback "synthetic" store gathered from the real store.
+        import types
+        tr = np.asarray(train_indices, np.int64)
+        pos = tr[real_dev.labels_host[tr] == 1]
+        fb = jnp.asarray(pos if pos.size else tr)
+        print("Curriculum fallback: substituting random real "
+              f"{'positives' if pos.size else 'samples'} for the empty "
+              "synthetic store.")
+        synth_dev = types.SimpleNamespace(
+            images=jnp.take(real_dev.images, fb, axis=0),
+            labels=jnp.take(real_dev.labels, fb, axis=0))
+
     rng = jax.random.key(args.seed + seed_offset)
     k_init, k_train = jax.random.split(rng)
     model, params, stats = _init_resnet(args, dtype, k_init)
@@ -177,10 +195,14 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
 
     batch_size = mesh_ctx.pad_batch(args.batch_size)
     n_real = len(real_dev)
-    if strategy == "augmented":
+    if strategy == "augmented" and not synth_fallback:
         epoch_space = np.concatenate([
             np.asarray(train_indices, np.int64),
             n_real + np.arange(len(synth_dev), dtype=np.int64)])
+    elif strategy == "augmented":
+        # empty synthetic store: ConcatDataset([real, []]) == real
+        # (reference data_loader.py:575 with a 0-length SyntheticDataset)
+        epoch_space = np.asarray(train_indices, np.int64)
     else:
         epoch_space = np.asarray(train_indices, np.int64)
 
@@ -247,6 +269,14 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
             ckpt = os.path.join(args.model_dir, f"{run_prefix}resnet50.msgpack")
             save_variables(ckpt, best_vars)
             print(f"Saved best model checkpoint to {ckpt}")
+            # torchvision-format twin so the reference analyzer's Grad-CAM
+            # loads our runs unchanged (analyze_results.py:455-470; the
+            # reference trainer writes the same name, train_classifier.py:182)
+            from xgan.models.pretrained import save_torch_resnet50
+            save_torch_resnet50(
+                os.path.join(args.model_dir, f"{run_prefix}resnet50.pth"),
+                best_vars["params"], best_vars["batch_stats"],
+                stage_sizes=_resnet_stages(args))
 
     write_json(os.path.join(args.results_dir,
                             f"{run_prefix}training_history.json"), history)
@@ -318,12 +348,22 @@ def train_classifier(args):
         args.image_size, cache_dir=args.cache_dir,
         name=f"test{args.image_size}")
 
+    synth_fallback = False
     if args.use_synthetic:
-        if (not os.path.isdir(args.synthetic_dir)
-                or not os.listdir(args.synthetic_dir)):
+        if not os.path.isdir(args.synthetic_dir):
             print(f"Error loading data: synthetic dir {args.synthetic_dir} "
-                  "is empty or missing. Generate images first.")
+                  "is missing. Generate images first.")
             return None
+        has_pngs = any(f.endswith(".png")
+                       for f in os.listdir(args.synthetic_dir))
+        if not has_pngs:
+            # reference parity (data_loader.py:509-510, 527-536): an
+            # existing-but-empty synthetic dir is a warning, not an error;
+            # curriculum substitutes random real positives per draw and
+            # plain augmentation concatenates nothing.
+            print("Warning: Synthetic dataset is empty or None.")
+            synth_fallback = True
+    if args.use_synthetic and not synth_fallback:
         synth_store = decode_folder_store(
             args.synthetic_dir, args.image_size, label=1,
             cache_dir=args.cache_dir, name=f"synth{args.image_size}")
@@ -332,6 +372,7 @@ def train_classifier(args):
             images=np.zeros((1, args.image_size, args.image_size, 3),
                             np.uint8),
             labels=np.ones((1,), np.int32), size=args.image_size)
+    args._synth_fallback = synth_fallback
 
     mesh_ctx = create_mesh()
     dtype = resolve_dtype(args.compute_dtype)
