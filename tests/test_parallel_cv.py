@@ -39,6 +39,125 @@ def test_fold_epoch_batches_alignment():
         assert set(flat.tolist()) <= set(fi.tolist())
 
 
+def test_fold_mesh_shapes():
+    from xgan.train.parallel_folds import fold_mesh
+    devs = jax.devices()
+    assert dict(fold_mesh(devs, 4).shape) == {"fold": 4, "data": 2}
+    assert dict(fold_mesh(devs, 2).shape) == {"fold": 2, "data": 4}
+    assert dict(fold_mesh(devs, 8).shape) == {"fold": 8, "data": 1}
+    # no common factor -> pure batch sharding (round-1 layout)
+    assert dict(fold_mesh(devs, 3).shape) == {"fold": 1, "data": 8}
+    assert dict(fold_mesh(devs, 5).shape) == {"fold": 1, "data": 8}
+
+
+def test_fold_axis_sharding_matches_replicated_layout(fake_dataset):
+    """k=4 folds on the 8-device mesh: the ('fold','data')=(4,2) manual
+    fold-sharded layout (shard_map over 'fold', data auto) must produce
+    the same losses and updated parameters as the round-1 layout (folds
+    replicated, batch sharded 8-way) — the sharding choice is a layout
+    decision, not a semantics change (VERDICT r1 #9).
+
+    Note manual fold sharding is a CORRECTNESS requirement, not only a
+    layout one: letting GSPMD shard the fold axis of the vmapped convs
+    (the group axis of grouped convolutions) returns wrong values on this
+    XLA version — see test_gspmd_grouped_conv_fold_sharding_is_broken.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from xgan.models.resnet import ResNet50
+    from xgan.parallel.mesh import create_mesh
+    from xgan.train.classifier import classifier_optimizer
+    from xgan.train.common import ModelState
+    from xgan.train.parallel_folds import (fold_mesh, make_parallel_steps,
+                                           stack_states)
+
+    mesh_ctx = create_mesh()
+    k, b, size = 4, 16, 32
+    model = ResNet50(num_classes=2, stage_sizes=(1, 1, 1, 1))
+    tx = classifier_optimizer(1e-3, freeze_base=True)
+    states = []
+    for f in range(k):
+        v = model.init(jax.random.key(f), jnp.zeros((1, size, size, 3)),
+                       train=False)
+        states.append(ModelState(params=v["params"],
+                                 batch_stats=v["batch_stats"],
+                                 opt_state=tx.init(v["params"])))
+    stacked_host = jax.device_get(stack_states(states))
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (40, size, size, 3), np.uint8))
+    labels = jnp.asarray(rng.integers(0, 2, (40,), np.int32))
+    idx = jnp.asarray(rng.integers(0, 40, (2, k, b)), np.int32)
+    keys = jax.random.split(jax.random.key(9), k)
+
+    def run(pmesh, fold_sh, put_state_sh):
+        step, _ = make_parallel_steps(model, tx, mode="real", n_folds=k,
+                                      fold_sharding=fold_sh, pmesh=pmesh)
+        st = jax.device_put(jax.tree_util.tree_map(jnp.asarray,
+                                                   stacked_host),
+                            put_state_sh)
+        outs = []
+        for i in range(2):
+            st, losses, preds, labs = step(st, imgs, labels, imgs, labels,
+                                           idx[i], jnp.float32(0.0), keys)
+            outs.append(np.asarray(jax.device_get(losses)))
+        return outs, jax.device_get(st.params)
+
+    old = NamedSharding(mesh_ctx.mesh, P(None, "data"))
+    out_old, p_old = run(None, old, mesh_ctx.replicated())
+
+    pmesh = fold_mesh(mesh_ctx.mesh.devices.flatten(), k)
+    assert dict(pmesh.shape) == {"fold": 4, "data": 2}
+    st_sh = NamedSharding(pmesh, P("fold"))
+    out_new, p_new = run(pmesh, None, st_sh)
+
+    for a, b_ in zip(out_old, out_new):
+        np.testing.assert_allclose(a, b_, rtol=1e-3, atol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(np.asarray(a),
+                                                 np.asarray(b_),
+                                                 rtol=1e-3, atol=2e-4),
+        p_old, p_new)
+
+
+def test_gspmd_grouped_conv_fold_sharding_is_broken():
+    """Canary for the XLA partitioner bug that forced the manual-fold
+    shard_map design: chained vmapped convs with per-fold weights sharded
+    P('fold') via plain GSPMD return WRONG values (order-1 errors, not
+    rounding). If this test ever starts passing, the partitioner is
+    fixed and make_parallel_steps could drop its shard_map path."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devs, ("fold", "data"))
+    k, b = 4, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(k, b, 8, 8, 16)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(k, 3, 3, 16, 16)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(k, 1, 1, 16, 16)).astype(np.float32))
+
+    def conv(xi, wi):
+        return jax.lax.conv_general_dilated(
+            xi, wi, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def fwd(w1_, w2_, x_):
+        def one(wa, wb, xi):
+            return conv(jnp.maximum(conv(xi, wa), 0.0), wb)
+        return jax.vmap(one)(w1_, w2_, x_)
+
+    ref = np.asarray(jax.jit(fwd)(
+        jax.device_put(w1, NamedSharding(mesh, P())),
+        jax.device_put(w2, NamedSharding(mesh, P())), x))
+    got = np.asarray(jax.jit(fwd)(
+        jax.device_put(w1, NamedSharding(mesh, P("fold"))),
+        jax.device_put(w2, NamedSharding(mesh, P("fold"))),
+        jax.device_put(x, NamedSharding(mesh, P("fold", "data")))))
+    assert not np.allclose(ref, got, atol=1e-3), (
+        "GSPMD grouped-conv fold sharding now computes correctly — the "
+        "shard_map workaround in make_parallel_steps can be revisited")
+
+
 @pytest.mark.parametrize("strategy", ["baseline", "curriculum"])
 def test_parallel_cv_end_to_end(fake_dataset, tmp_path, strategy):
     from xgan.train.classifier_loop import train_classifier

@@ -21,7 +21,7 @@ from xgan.io_.metrics import write_json
 from xgan.train.classifier import classifier_optimizer
 from xgan.train.common import ModelState
 from xgan.train.curriculum import get_current_synthetic_ratio
-from xgan.train.parallel_folds import (fold_epoch_batches,
+from xgan.train.parallel_folds import (fold_epoch_batches, fold_mesh,
                                        make_parallel_steps, stack_states,
                                        unstack_state)
 
@@ -53,13 +53,18 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
             args, dtype, jax.random.key(args.seed + f))
         states.append(ModelState(params=params, batch_stats=stats,
                                  opt_state=tx.init(params)))
-    stacked = mesh_ctx.replicate(stack_states(states))
+    # ('fold','data') mesh over the same devices: device groups own
+    # disjoint folds where gcd(k, n_devices) > 1 (shard_map manual over
+    # the fold axis), and split each fold's batch otherwise (see
+    # parallel_folds.fold_mesh / make_parallel_steps).
+    pmesh = fold_mesh(mesh_ctx.mesh.devices.flatten(), k)
+    state_sharding = NamedSharding(pmesh, P("fold"))
+    stacked = jax.device_put(stack_states(states), state_sharding)
     del states
+    print(f"Parallel CV mesh: {dict(pmesh.shape)}")
 
-    fold_sharding = NamedSharding(mesh_ctx.mesh, P(None, "data"))
     train_step, eval_step = make_parallel_steps(
-        model, tx, mode=mode, n_folds=k, dtype=dtype,
-        fold_sharding=fold_sharding)
+        model, tx, mode=mode, n_folds=k, dtype=dtype, pmesh=pmesh)
 
     batch_size = mesh_ctx.pad_batch(args.batch_size)
     if strategy == "augmented":
@@ -154,6 +159,16 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
                     args.model_dir,
                     f"fold_{f + 1}_{strategy}_resnet50.msgpack")
                 save_variables(ckpt, best_vars[f])
+                # torchvision-format twin (reference
+                # train_classifier.py:182 writes the same name per fold)
+                from xgan.models.pretrained import save_torch_resnet50
+                save_torch_resnet50(
+                    os.path.join(
+                        args.model_dir,
+                        f"fold_{f + 1}_{strategy}_resnet50.pth"),
+                    best_vars[f]["params"], best_vars[f]["batch_stats"],
+                    stage_sizes=tuple(
+                        getattr(args, "resnet_stages", ()) or (3, 4, 6, 3)))
 
         mean_val = float(np.mean([h["val_acc"][-1] for h in histories]))
         print(f"Epoch {epoch + 1}/{args.epochs} [parallel {k}-fold "

@@ -21,14 +21,33 @@ sequential path.
 """
 from __future__ import annotations
 
+import math
 from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from xgan.train.classifier import make_eval_step, make_train_step
 from xgan.train.common import ModelState
+
+
+def fold_mesh(devices, k: int) -> Mesh:
+    """A ('fold', 'data') mesh for parallel CV (VERDICT r1 #9).
+
+    The fold axis takes gcd(k, n_devices) shards — each device group owns
+    k/f folds' parameters, optimizer state, BN statistics and batch rows
+    (state memory per device drops by f; BN/grad reductions span only the
+    group's n/f devices instead of the whole mesh). The remaining factor
+    splits each fold's batch (plain DP). gcd == 1 (e.g. 3 folds on 8
+    devices) degenerates to pure batch sharding, the round-1 layout.
+    """
+    devices = list(devices)
+    n = len(devices)
+    f = math.gcd(k, n)
+    arr = np.asarray(devices).reshape(f, n // f)
+    return Mesh(arr, ("fold", "data"))
 
 
 def stack_states(states: List[ModelState]) -> ModelState:
@@ -40,7 +59,8 @@ def unstack_state(stacked: ModelState, fold: int):
 
 
 def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
-                        dtype=jnp.float32, fold_sharding=None):
+                        dtype=jnp.float32, fold_sharding=None,
+                        pmesh=None):
     """Returns (train_step, eval_step) vmapped over the fold axis.
 
     train_step(stacked_state, real_u8, real_labels, synth_u8, synth_labels,
@@ -51,7 +71,22 @@ def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
 
     Stores are shared (not vmapped); ratio is shared (the curriculum
     schedule is the same for every fold, train_classifier.py:126-128).
+
+    ``pmesh`` (a :func:`fold_mesh`) picks the layout: with >1 fold shard,
+    the whole step runs under ``jax.shard_map`` MANUAL over the "fold"
+    axis — each device group owns its folds' states/batches outright,
+    while the "data" axis stays auto (GSPMD inserts the per-fold BN and
+    gradient reductions, exactly the single-run DP semantics). Manual
+    fold sharding is required for correctness, not just layout: letting
+    GSPMD shard the fold axis of the vmapped convs (= the group axis of
+    grouped convolutions) miscompiles on this XLA version (chained
+    grouped convs return wrong values; see tests/test_parallel_cv.py).
+    With one fold shard, ``fold_sharding`` (or pmesh's P(None, 'data'))
+    constrains the index matrices so batches shard over data — the
+    round-1 layout.
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     raw_train = make_train_step(model, tx, mode=mode, dtype=dtype,
                                 batch_sharding=None, jit_compile=False)
     raw_eval = make_eval_step(model, dtype=dtype, batch_sharding=None,
@@ -60,6 +95,36 @@ def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
     vtrain = jax.vmap(raw_train,
                       in_axes=(0, None, None, None, None, 0, None, 0))
     veval = jax.vmap(raw_eval, in_axes=(0, None, 0, None))
+
+    if pmesh is not None and pmesh.shape["fold"] > 1:
+        data_sh = NamedSharding(pmesh, P(None, "data"))
+
+        def train_body(stacked, real_u8, real_labels, synth_u8,
+                       synth_labels, idx, ratio, keys):
+            idx = jax.lax.with_sharding_constraint(idx, data_sh)
+            return vtrain(stacked, real_u8, real_labels, synth_u8,
+                          synth_labels, idx, ratio, keys)
+
+        def eval_body(stacked_vars, images_u8, idx, labels_all):
+            idx = jax.lax.with_sharding_constraint(idx, data_sh)
+            return veval(stacked_vars, images_u8, idx, labels_all)
+
+        train_step = jax.shard_map(
+            train_body, mesh=pmesh,
+            in_specs=(P("fold"), P(), P(), P(), P(), P("fold"), P(),
+                      P("fold")),
+            out_specs=(P("fold"), P("fold"), P("fold"), P("fold")),
+            axis_names={"fold"}, check_vma=False)
+        eval_step = jax.shard_map(
+            eval_body, mesh=pmesh,
+            in_specs=(P("fold"), P(), P("fold"), P()),
+            out_specs=(P("fold"),) * 4,
+            axis_names={"fold"}, check_vma=False)
+        return (jax.jit(train_step, donate_argnums=(0,)),
+                jax.jit(eval_step))
+
+    if fold_sharding is None and pmesh is not None:
+        fold_sharding = NamedSharding(pmesh, P(None, "data"))
 
     def train_step(stacked, real_u8, real_labels, synth_u8, synth_labels,
                    idx, ratio, keys):
