@@ -100,3 +100,60 @@ def test_batch_norm_matches_torch_semantics():
                           jnp.asarray(bias), jnp.asarray(nm), jnp.asarray(nv))
     yt2 = bn(xt).detach().numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(y2), yt2, rtol=1e-4, atol=1e-4)
+
+
+def test_convt_phase_matches_dilated():
+    """conv_transpose2d_phase (4 k2s1 phase convs + interleave; the
+    minimal-FLOP lowering adopted because XLA's zero-dilated form wastes
+    3/4 of the MXU work — tools/bench_convt.py) is numerically the
+    dilated lowering, across layer shapes and odd sizes."""
+    from xgan.ops.conv import conv_transpose2d_phase
+    rng = np.random.default_rng(0)
+    for (h, cin, cout) in [(7, 512, 8), (5, 16, 8), (3, 3, 4), (8, 32, 16)]:
+        x = jnp.asarray(rng.normal(size=(2, h, h, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(4, 4, cin, cout)).astype(np.float32))
+        a = np.asarray(conv_transpose2d(x, w, stride=2, padding=1))
+        b = np.asarray(conv_transpose2d_phase(x, w))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_convt_phase_gradients_match_dilated():
+    """Autodiff through the phase form == autodiff through the dilated
+    form (both w.r.t. x and w)."""
+    from xgan.ops.conv import conv_transpose2d_phase
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 6, 6, 5)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 4, 5, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 12, 12, 3)).astype(np.float32))
+
+    f1 = lambda x, w: jnp.vdot(conv_transpose2d(x, w, stride=2, padding=1), g)
+    f2 = lambda x, w: jnp.vdot(conv_transpose2d_phase(x, w), g)
+    gx1, gw1 = jax.grad(f1, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(f2, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_k4s2_custom_vjp_matches_autodiff():
+    """conv2d_k4s2 (phase-decomposed input-gradient) == lax autodiff:
+    forward bit-exact, dx/dw to f32 reassociation tolerance."""
+    from xgan.ops.conv import conv2d_k4s2
+    rng = np.random.default_rng(2)
+    for (h, cin, cout) in [(8, 16, 8), (14, 6, 10)]:
+        x = jnp.asarray(rng.normal(size=(2, h, h, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(4, 4, cin, cout)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(2, h // 2, h // 2, cout))
+                        .astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(conv2d_k4s2(x, w)),
+            np.asarray(conv2d(x, w, stride=2, padding=1)))
+        f1 = lambda x, w: jnp.vdot(conv2d(x, w, stride=2, padding=1), g)
+        f2 = lambda x, w: jnp.vdot(conv2d_k4s2(x, w), g)
+        gx1, gw1 = jax.grad(f1, argnums=(0, 1))(x, w)
+        gx2, gw2 = jax.grad(f2, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   rtol=1e-4, atol=1e-4)

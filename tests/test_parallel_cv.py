@@ -62,19 +62,36 @@ def test_fold_axis_sharding_matches_replicated_layout(fake_dataset):
     (the group axis of grouped convolutions) returns wrong values on this
     XLA version — see test_gspmd_grouped_conv_fold_sharding_is_broken.
     """
+    import flax.linen as nn
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from xgan.models.resnet import ResNet50
+    from xgan.models.layers import Conv, Dense, TorchBatchNorm
     from xgan.parallel.mesh import create_mesh
-    from xgan.train.classifier import classifier_optimizer
     from xgan.train.common import ModelState
     from xgan.train.parallel_folds import (fold_mesh, make_parallel_steps,
                                            stack_states)
 
+    class TinyCNN(nn.Module):
+        """Small conv+BN net: same partitioner surface (grouped convs
+        under vmap, BN batch reductions, optimizer update) as the real
+        ResNet without the full-size compile that aborts long
+        single-process CPU runs (see classifier_loop._resnet_stages)."""
+        @nn.compact
+        def __call__(self, x, *, train: bool):
+            x = Conv(8, kernel=4, stride=2, padding=1)(x)
+            x = TorchBatchNorm()(x, train=train)
+            x = nn.relu(x)
+            x = Conv(16, kernel=4, stride=2, padding=1)(x)
+            x = TorchBatchNorm()(x, train=train)
+            x = nn.relu(x)
+            return Dense(2)(x.mean(axis=(1, 2)))
+
+    import optax
+
     mesh_ctx = create_mesh()
     k, b, size = 4, 16, 32
-    model = ResNet50(num_classes=2, stage_sizes=(1, 1, 1, 1))
-    tx = classifier_optimizer(1e-3, freeze_base=True)
+    model = TinyCNN()
+    tx = optax.adam(1e-3)
     states = []
     for f in range(k):
         v = model.init(jax.random.key(f), jnp.zeros((1, size, size, 3)),

@@ -1,9 +1,34 @@
 """Data pipeline unit properties: epoch coverage, padding, normalization."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xgan.data.pipeline import (epoch_batches, normalize_images,
-                                tanh_to_u8)
+from xgan.data.pipeline import (DeviceStore, epoch_batches,
+                                normalize_images, tanh_to_u8)
+
+
+def test_device_store_process_local_constructor_equivalent():
+    """The multi-host constructor path
+    (jax.make_array_from_process_local_data with the replicated sharding,
+    DeviceStore's process_count > 1 branch) produces arrays identical to
+    the single-process device_put path on the 8-device mesh. A real
+    multi-host run additionally needs jax.distributed.initialize(); this
+    pins the constructor semantics on this jax version."""
+    from xgan.data.store import ImageStore
+    from xgan.parallel.mesh import create_mesh
+
+    mesh_ctx = create_mesh()
+    rng = np.random.default_rng(0)
+    store = ImageStore(images=rng.integers(0, 255, (6, 32, 32, 3),
+                                           dtype=np.uint8),
+                       labels=np.arange(6, dtype=np.int32), size=32)
+    dev = DeviceStore(store, mesh_ctx)
+
+    imgs2 = jax.make_array_from_process_local_data(
+        mesh_ctx.replicated(), np.ascontiguousarray(store.images))
+    np.testing.assert_array_equal(np.asarray(imgs2), np.asarray(dev.images))
+    assert len(imgs2.sharding.device_set) == 8
+    assert imgs2.sharding.is_fully_replicated
 
 
 def test_epoch_batches_full_coverage_then_wrap():

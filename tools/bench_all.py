@@ -193,6 +193,12 @@ def bench_resnet(mesh_ctx, dtype, size, batch, freeze=True):
 
 
 def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
+    """Three rates (VERDICT r1 #7): pure device compute (chain-slope on
+    the jitted sampler), device+transfer (the sampler's own overlap-loop
+    rate), and end-to-end incl. native PNG encode+write. On this
+    environment the latter two are bound by the ~2 MB/s tunnel relay, not
+    the design (CLAUDE.md perf findings)."""
+    from xgan.data.pipeline import tanh_to_u8
     from xgan.models import dcgan
     from xgan.train.sample import generate_images
     model = dcgan.Generator(latent_dim=100, feature_maps=64,
@@ -202,16 +208,83 @@ def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
     variables = {"params": variables["params"],
                  "batch_stats": variables["batch_stats"]}
     os.makedirs(out_dir, exist_ok=True)
+
+    # pure device-compute rate: same program the sampler jits
+    vs = mesh_ctx.replicate(variables)
+    zspec = jax.sharding.NamedSharding(
+        mesh_ctx.mesh, jax.sharding.PartitionSpec("data", None))
+
+    @jax.jit
+    def sample(vs, key):
+        z = jax.random.normal(key, (batch, 100), jnp.float32)
+        z = jax.lax.with_sharding_constraint(z, zspec)
+        return tanh_to_u8(model.apply(vs, z, train=False))
+
+    holder = {"i": 0}
+
+    def run(_):
+        holder["i"] += 1
+        return sample(vs, jax.random.fold_in(jax.random.key(2),
+                                             holder["i"]))
+    dt = timeit(run, 0, iters=10)
+    out = {"device_compute_imgs_per_sec": batch / dt}
+
     # warm-up covers the jit compile so the timed run is steady-state
     generate_images(model, variables, output_dir=out_dir,
                     num_images=batch, latent_dim=100, batch_size=batch,
                     seed=0)
     n = 2048
+    stats = {}
     t0 = time.time()
     generate_images(model, variables, output_dir=out_dir, num_images=n,
-                    latent_dim=100, batch_size=batch, seed=0)
+                    latent_dim=100, batch_size=batch, seed=0, stats=stats)
     dt = time.time() - t0
-    return {"num_images": n, "end_to_end_imgs_per_sec": n / dt}
+    out.update({"num_images": n, "end_to_end_imgs_per_sec": n / dt,
+                "device_plus_transfer_imgs_per_sec":
+                    stats.get("device_side_imgs_per_sec")})
+    return out
+
+
+def bench_sharded_sampling_cpu8():
+    """Sharded sampling on the 8-virtual-device CPU mesh in a subprocess
+    (this process is pinned to the TPU backend): correctness (PNG count)
+    plus the scaling shape of the sharded program (VERDICT r1 #7)."""
+    import subprocess
+    import sys as _sys
+    script = r"""
+import os, json, time, tempfile
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags +
+        " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from xgan.models import dcgan
+from xgan.train.sample import generate_images
+model = dcgan.Generator(latent_dim=16, feature_maps=8, image_size=64)
+v = model.init(jax.random.key(0), jnp.zeros((2, 16)), train=False)
+v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+out = tempfile.mkdtemp()
+stats = {}
+n = generate_images(model, v, output_dir=out, num_images=64,
+                    latent_dim=16, batch_size=64, seed=0, stats=stats)
+import glob
+pngs = len(glob.glob(os.path.join(out, "*.png")))
+print(json.dumps({"n_devices": jax.device_count(),
+                  "images_written": pngs,
+                  "device_side_imgs_per_sec":
+                      stats["device_side_imgs_per_sec"],
+                  "ok": pngs == 64}))
+"""
+    r = subprocess.run([_sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=600,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    if r.returncode != 0:
+        return {"ok": False, "error": r.stderr[-500:]}
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def main():
@@ -248,6 +321,9 @@ def main():
     results["generate_synthetic_224px"] = bench_sampler(
         mesh_ctx, dtype, 224, 256, "/tmp/bench_sampler_out")
     print(results["generate_synthetic_224px"])
+    print("Sharded sampling on the 8-device CPU mesh (subprocess)...")
+    results["sharded_sampling_cpu8"] = bench_sharded_sampling_cpu8()
+    print(results["sharded_sampling_cpu8"])
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAIL.json")

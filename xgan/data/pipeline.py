@@ -103,14 +103,29 @@ def minmax_to_u8(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class DeviceStore:
-    """An ImageStore pushed to device HBM (replicated over the mesh)."""
+    """An ImageStore pushed to device HBM (replicated over the mesh).
+
+    Multi-host: ``jax.device_put`` cannot address other hosts' devices,
+    so when the mesh spans processes the global replicated arrays are
+    assembled with ``jax.make_array_from_process_local_data`` — every
+    process contributes its (identical, fully replicated) local copy and
+    receives a global jax.Array usable inside pjit'd steps. Call
+    ``jax.distributed.initialize()`` before ``create_mesh`` (see
+    xgan/parallel/mesh.py docstring); single-process meshes take the
+    plain device_put path.
+    """
 
     def __init__(self, store, mesh_ctx=None):
         self.size = store.size
         self.labels_host = np.asarray(store.labels, np.int32)
         imgs = np.ascontiguousarray(store.images)
         labels = self.labels_host
-        if mesh_ctx is not None:
+        if mesh_ctx is not None and jax.process_count() > 1:
+            self.images = jax.make_array_from_process_local_data(
+                mesh_ctx.replicated(), imgs)
+            self.labels = jax.make_array_from_process_local_data(
+                mesh_ctx.replicated(), labels)
+        elif mesh_ctx is not None:
             self.images = jax.device_put(imgs, mesh_ctx.replicated())
             self.labels = jax.device_put(labels, mesh_ctx.replicated())
         else:

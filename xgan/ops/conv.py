@@ -17,6 +17,8 @@ convention relative to PyTorch is immaterial.
 """
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 from jax import lax
 
 # NHWC activations, HWIO weights.
@@ -62,3 +64,102 @@ def conv_transpose2d(x, w, *, stride: int = 1, padding: int = 0,
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMSPEC,
     )
+
+
+def conv_transpose2d_phase(x, w):
+    """ConvTranspose2d(k=4, s=2, p=1) as FOUR k2s1 phase convolutions.
+
+    The dilated lowering above feeds the MXU a 2x-zero-dilated input: of
+    each output pixel's 16 k4 taps only 4 hit real data, so 3/4 of the
+    conv FLOPs multiply zeros. Decomposing by output phase removes the
+    redundancy entirely: with this module's correlation convention
+    (input row iy through kernel row ky lands on output y' = 2*iy+2-ky,
+    probed in tests/test_ops.py), the even output phase y'=2t reads the
+    window (x[t-1], x[t]) through kernel rows (0, 2) and the odd phase
+    y'=2t+1 reads (x[t], x[t+1]) through rows (1, 3); columns likewise.
+    Four k2 convs do exactly the minimal 16*H*W*Cin*Cout MACs (the
+    dilated form counts 64), then one interleave pass assembles
+    (B, 2H, 2W, Cout).
+
+    x: (B, H, W, Cin); w: (4, 4, Cin, Cout) -> (B, 2H, 2W, Cout).
+    Numerically identical to conv_transpose2d(x, w, stride=2, padding=1)
+    up to f32 summation order (tests/test_ops.py).
+    """
+    assert w.shape[0] == 4 and w.shape[1] == 4
+    b, h, wd, _ = x.shape
+    cout = w.shape[3]
+    row_sel = ((0, 2), (1, 3))
+    pad_sel = ((1, 0), (0, 1))
+
+    phases = []
+    for py in (0, 1):
+        for px in (0, 1):
+            sub = w[row_sel[py], :, :, :][:, row_sel[px], :, :]
+            y = lax.conv_general_dilated(
+                x, sub,
+                window_strides=(1, 1),
+                padding=(pad_sel[py], pad_sel[px]),
+                dimension_numbers=_DIMSPEC,
+            )
+            phases.append(y)
+    # (B,H,W,C) x 4 -> (B, H, 2, W, 2, C) -> (B, 2H, 2W, C)
+    y = jnp.stack(phases, axis=-2)            # (B, H, W, 4, C)
+    y = y.reshape(b, h, wd, 2, 2, cout)       # [py, px]
+    y = y.transpose(0, 1, 3, 2, 4, 5)         # (B, H, py, W, px, C)
+    return y.reshape(b, 2 * h, 2 * wd, cout)
+
+
+def _phase_grad_x_k4s2(g, w):
+    """d/dx of conv2d(x, w, stride=2, padding=1) for k=4, phase form.
+
+    dx[iy] = sum_ky g[(iy + 1 - ky)/2] w[ky] (whenever integral): the
+    cotangent flows through a stride-2 TRANSPOSED conv, which XLA lowers
+    with a 2x-zero-dilated input (3/4 wasted MXU work, like the forward
+    ConvT — see conv_transpose2d_phase). Phase form: even input rows
+    iy=2t read (g[t-1], g[t]) through kernel rows (3, 1); odd rows
+    iy=2t+1 read (g[t], g[t+1]) through rows (2, 0); the in/out channel
+    axes of w are swapped. Verified against jax.grad of the lax lowering
+    in tests/test_ops.py.
+    """
+    b, oh, ow, _ = g.shape
+    cin = w.shape[2]
+    wt = w.transpose(0, 1, 3, 2)              # (ky, kx, Cout, Cin)
+    row_sel = ((3, 1), (2, 0))
+    pad_sel = ((1, 0), (0, 1))
+    phases = []
+    for py in (0, 1):
+        for px in (0, 1):
+            sub = wt[row_sel[py], :, :, :][:, row_sel[px], :, :]
+            phases.append(lax.conv_general_dilated(
+                g, sub, window_strides=(1, 1),
+                padding=(pad_sel[py], pad_sel[px]),
+                dimension_numbers=_DIMSPEC))
+    y = jnp.stack(phases, axis=-2)
+    y = y.reshape(b, oh, ow, 2, 2, cin)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * oh, 2 * ow, cin)
+
+
+@jax.custom_vjp
+def conv2d_k4s2(x, w):
+    """conv2d(x, w, stride=2, padding=1) whose input-gradient uses the
+    minimal-FLOP phase decomposition instead of XLA's zero-dilated
+    transposed conv (the D/critic backward pays the same 4x MXU waste the
+    G forward did; measured in tools/bench_convt.py)."""
+    return conv2d(x, w, stride=2, padding=1)
+
+
+def _conv2d_k4s2_fwd(x, w):
+    return conv2d(x, w, stride=2, padding=1), (x, w)
+
+
+def _conv2d_k4s2_bwd(res, g):
+    x, w = res
+    # dw via XLA's rhs-grad (window-dilated conv — no zeros inserted,
+    # already minimal); dx via the phase decomposition.
+    dw = jax.vjp(lambda w_: conv2d(x, w_, stride=2, padding=1), w)[1](g)[0]
+    dx = _phase_grad_x_k4s2(g, w).astype(x.dtype)
+    return dx, dw
+
+
+conv2d_k4s2.defvjp(_conv2d_k4s2_fwd, _conv2d_k4s2_bwd)
