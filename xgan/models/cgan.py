@@ -97,11 +97,13 @@ class Discriminator(nn.Module):
             return t
 
         h = track(Conv(nf // 2, kernel=4, stride=2, padding=1, use_bias=True,
-                       torch_bias=True, dtype=self.dtype)(x))
+                       torch_bias=True, phase_grad=True,
+                       dtype=self.dtype)(x))
         h = track(leaky_relu(h))
         for w in [nf, nf * 2, nf * 4, nf * 8]:
             h = track(Conv(w, kernel=4, stride=2, padding=1, use_bias=True,
-                           torch_bias=True, dtype=self.dtype)(h))
+                           torch_bias=True, phase_grad=True,
+                           dtype=self.dtype)(h))
             h = track(TorchBatchNorm()(h, train=train))
             h = track(leaky_relu(h))
 

@@ -72,10 +72,11 @@ class Discriminator(nn.Module):
         widths = [fd // 2, fd, fd * 2, fd * 4, fd * 8]
 
         x = Conv(widths[0], kernel=4, stride=2, padding=1,
-                 dtype=self.dtype)(x)
+                 phase_grad=True, dtype=self.dtype)(x)
         x = leaky_relu(x)
         for w in widths[1:]:
-            x = Conv(w, kernel=4, stride=2, padding=1, dtype=self.dtype)(x)
+            x = Conv(w, kernel=4, stride=2, padding=1, phase_grad=True,
+                     dtype=self.dtype)(x)
             x = TorchBatchNorm()(x, train=train)
             x = leaky_relu(x)
         x = Conv(1, kernel=s0, stride=1, padding=0, dtype=self.dtype)(x)

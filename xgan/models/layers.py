@@ -16,7 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from xgan.ops.conv import conv2d, conv_transpose2d
+from xgan.ops.conv import (conv2d, conv2d_k4s2, conv_transpose2d,
+                           conv_transpose2d_phase)
 from xgan.ops.norm import batch_norm_infer, batch_norm_train
 
 Dtype = Any
@@ -58,13 +59,20 @@ class Conv(nn.Module):
     """Conv2d(k, s, p) with PyTorch geometry; NHWC/HWIO; N(0,0.02) init.
 
     ``torch_bias=True`` uses torch's default U(±1/sqrt(Cin*k*k)) bias init
-    (CGAN convs keep default biases, reference cgan.py:70-89)."""
+    (CGAN convs keep default biases, reference cgan.py:70-89).
+    ``phase_grad=True`` routes the (k4, s2, p1) geometry through
+    conv2d_k4s2, whose input-gradient uses the minimal-FLOP phase
+    decomposition instead of XLA's zero-dilated transposed conv (measured
+    in tools/bench_convt.py). Leave False for modules that need
+    higher-order autodiff (the WGAN-GP critic's double backward —
+    custom_vjp functions are not twice-differentiable)."""
     features: int
     kernel: int
     stride: int = 1
     padding: int = 0
     use_bias: bool = False
     torch_bias: bool = False
+    phase_grad: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -72,9 +80,14 @@ class Conv(nn.Module):
         cin = x.shape[-1]
         w = self.param("kernel", gan_conv_init(),
                        (self.kernel, self.kernel, cin, self.features))
-        y = conv2d(x.astype(self.dtype), w.astype(self.dtype),
-                   stride=self.stride, padding=self.padding,
-                   preferred_dtype=jnp.float32).astype(self.dtype)
+        if (self.phase_grad and self.kernel == 4 and self.stride == 2
+                and self.padding == 1):
+            y = conv2d_k4s2(x.astype(self.dtype),
+                            w.astype(self.dtype)).astype(self.dtype)
+        else:
+            y = conv2d(x.astype(self.dtype), w.astype(self.dtype),
+                       stride=self.stride, padding=self.padding,
+                       preferred_dtype=jnp.float32).astype(self.dtype)
         if self.use_bias:
             bias_init = (torch_uniform_init(cin * self.kernel * self.kernel)
                          if self.torch_bias else nn.initializers.zeros)
@@ -84,12 +97,20 @@ class Conv(nn.Module):
 
 
 class ConvTranspose(nn.Module):
-    """ConvTranspose2d(k, s, p) with PyTorch geometry; N(0,0.02) init."""
+    """ConvTranspose2d(k, s, p) with PyTorch geometry; N(0,0.02) init.
+
+    The (k4, s2, p1) geometry lowers via the phase decomposition
+    (4 x k2s1 convs + interleave, xgan/ops/conv.py): XLA's zero-dilated
+    form runs the MXU at 1/4 effective utilization — 6.6x slower measured
+    at the G-224 head layer (tools/bench_convt.py). Numerics are pinned
+    equal in tests/test_ops.py; autodiff composes (pure lax ops), so the
+    WGAN generator keeps it too."""
     features: int
     kernel: int
     stride: int = 1
     padding: int = 0
     use_bias: bool = False
+    phase: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -97,9 +118,14 @@ class ConvTranspose(nn.Module):
         cin = x.shape[-1]
         w = self.param("kernel", gan_conv_init(),
                        (self.kernel, self.kernel, cin, self.features))
-        y = conv_transpose2d(x.astype(self.dtype), w.astype(self.dtype),
-                             stride=self.stride, padding=self.padding,
-                             preferred_dtype=jnp.float32).astype(self.dtype)
+        if (self.phase and self.kernel == 4 and self.stride == 2
+                and self.padding == 1):
+            y = conv_transpose2d_phase(
+                x.astype(self.dtype), w.astype(self.dtype)).astype(self.dtype)
+        else:
+            y = conv_transpose2d(x.astype(self.dtype), w.astype(self.dtype),
+                                 stride=self.stride, padding=self.padding,
+                                 preferred_dtype=jnp.float32).astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(self.dtype)
