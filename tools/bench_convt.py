@@ -58,9 +58,13 @@ def bench_op(op, x, w, iters=6, reps=3):
 
 
 def bench_grad(op, x, w, iters=6, reps=3):
-    """Per-(fwd+bwd) seconds for d/d(x,w) sum(op(x,w)), same chaining."""
+    """Per-(fwd+bwd) seconds for d/d(x,w) of a NONLINEAR loss, same
+    chaining. sum(y) is useless here: its dx is input-independent, so
+    XLA hoists the whole backward out of the scan (observed: 0.0 ms
+    rows). sum(y^2) keeps dx = 2*convT(y) dependent on x."""
     def loss(x_, w_):
-        return jnp.sum(op(x_, w_).astype(jnp.float32))
+        y = op(x_, w_).astype(jnp.float32)
+        return jnp.sum(y * y)
 
     grad_fn = jax.grad(loss, argnums=(0, 1))
 

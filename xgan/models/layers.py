@@ -10,11 +10,18 @@ Parameters are stored in float32; activations are computed in ``dtype``
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# Escape hatch for A/B benchmarking the stride-2 conv lowerings
+# (tools/bench_convt.py found microbenchmarks unreliable here; the full
+# train step is the arbiter): XGAN_NO_PHASE=1 restores XLA's dilated
+# lowerings everywhere.
+_PHASE_DISABLED = os.environ.get("XGAN_NO_PHASE") == "1"
 
 from xgan.ops.conv import (conv2d, conv2d_k4s2, conv_transpose2d,
                            conv_transpose2d_phase)
@@ -80,8 +87,8 @@ class Conv(nn.Module):
         cin = x.shape[-1]
         w = self.param("kernel", gan_conv_init(),
                        (self.kernel, self.kernel, cin, self.features))
-        if (self.phase_grad and self.kernel == 4 and self.stride == 2
-                and self.padding == 1):
+        if (self.phase_grad and not _PHASE_DISABLED and self.kernel == 4
+                and self.stride == 2 and self.padding == 1):
             y = conv2d_k4s2(x.astype(self.dtype),
                             w.astype(self.dtype)).astype(self.dtype)
         else:
@@ -118,8 +125,8 @@ class ConvTranspose(nn.Module):
         cin = x.shape[-1]
         w = self.param("kernel", gan_conv_init(),
                        (self.kernel, self.kernel, cin, self.features))
-        if (self.phase and self.kernel == 4 and self.stride == 2
-                and self.padding == 1):
+        if (self.phase and not _PHASE_DISABLED and self.kernel == 4
+                and self.stride == 2 and self.padding == 1):
             y = conv_transpose2d_phase(
                 x.astype(self.dtype), w.astype(self.dtype)).astype(self.dtype)
         else:
