@@ -327,8 +327,15 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAIL.json")
+    merged = {}
+    if os.path.exists(out):
+        # keep entries other tools recorded (phase A/B, kernel
+        # rejections) — only refresh the keys this run measured.
+        with open(out) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(f"wrote {out}")
 
 

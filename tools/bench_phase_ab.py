@@ -28,10 +28,11 @@ print("RESULT " + json.dumps(out))
 
 def run(no_phase: bool):
     env = dict(os.environ)
+    env.pop("XGAN_NO_PHASE", None)
     if no_phase:
-        env["XGAN_NO_PHASE"] = "1"
+        env.pop("XGAN_PHASE", None)
     else:
-        env.pop("XGAN_NO_PHASE", None)
+        env["XGAN_PHASE"] = "1"
     r = subprocess.run([sys.executable, "-c",
                         SCRIPT.format(repo=REPO)],
                        env=env, capture_output=True, text=True,
@@ -44,7 +45,7 @@ def run(no_phase: bool):
 
 if __name__ == "__main__":
     base = run(no_phase=True)
-    print(json.dumps({"variant": "dilated (XGAN_NO_PHASE=1)", **base}),
+    print(json.dumps({"variant": "dilated (default)", **base}),
           flush=True)
     phase = run(no_phase=False)
     print(json.dumps({"variant": "phase", **phase}), flush=True)

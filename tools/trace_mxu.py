@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Trace-backed MXU-gap analysis (VERDICT r1 #8).
+
+Captures a jax.profiler trace of the fused DCGAN-224 train step and the
+frozen ResNet-50 step on the real TPU, parses the xplane via
+jax.profiler.ProfileData, and aggregates device-plane event time by HLO
+category — so "where does the non-MXU half of the step go" is answered
+from the device timeline, not from an analytic guess.
+
+Output: one JSON line per workload with total device time, per-category
+breakdown (convolution / fusion / copy / reduce / all-others), and the
+top-10 individual ops; plus a human table. Findings live in
+docs/MXU_NOTES.md.
+
+Usage: python tools/trace_mxu.py [--workload dcgan|resnet|all]
+"""
+import argparse
+import collections
+import glob
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _device_plane_events(trace_dir):
+    """Yield (name, dur_ps, line_name) from every device plane in the
+    newest xplane.pb under trace_dir."""
+    paths = sorted(glob.glob(os.path.join(
+        trace_dir, "**", "*.xplane.pb"), recursive=True))
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {trace_dir}")
+    with open(paths[-1], "rb") as f:
+        data = jax.profiler.ProfileData.from_serialized_xspace(f.read())
+    for plane in data.planes:
+        pname = plane.name.lower()
+        if not ("tpu" in pname or "device" in pname or "/device:" in pname):
+            continue
+        if "host" in pname:
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                yield ev.name, ev.duration_ns, line.name, plane.name
+
+
+_CATEGORIES = (
+    ("convolution", re.compile(r"convolution|conv[0-9._-]|%conv")),
+    ("matmul", re.compile(r"\bdot\b|dot_general|matmul")),
+    ("fusion", re.compile(r"fusion")),
+    ("copy/transpose", re.compile(r"copy|transpose|reshape|bitcast")),
+    ("reduce", re.compile(r"reduce")),
+    ("dynamic-slice/update", re.compile(r"dynamic.(update.)?slice|gather|scatter")),
+)
+
+
+def categorize(name):
+    low = name.lower()
+    for cat, pat in _CATEGORIES:
+        if pat.search(low):
+            return cat
+    return "other"
+
+
+def analyze(trace_dir, label, steps, step_flops=None):
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    lines_seen = collections.Counter()
+    for name, dur_ns, line, plane in _device_plane_events(trace_dir):
+        # XLA op lines carry the HLO op events; skip step/annotation lines.
+        lines_seen[(plane, line)] += 1
+        per_op[name] += dur_ns
+        per_cat[categorize(name)] += dur_ns
+    total_ns = sum(per_cat.values())
+    out = {
+        "workload": label,
+        "device_time_ms_total": round(total_ns / 1e6, 3),
+        "per_step_ms": round(total_ns / 1e6 / max(steps, 1), 3),
+        "category_pct": {k: round(100.0 * v / max(total_ns, 1), 1)
+                         for k, v in per_cat.most_common()},
+        "top_ops": [
+            {"op": n[:120], "ms": round(d / 1e6, 3),
+             "pct": round(100.0 * d / max(total_ns, 1), 1)}
+            for n, d in per_op.most_common(12)],
+    }
+    if step_flops is not None and total_ns:
+        out["achieved_tflops"] = round(
+            step_flops * steps / (total_ns / 1e9) / 1e12, 1)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def _traced_run(run, trace_dir, steps):
+    """Warm (compile) then run ``steps`` chained iterations under the
+    profiler; run(i) must thread device state via a holder (CLAUDE.md
+    dedup pitfall) and return an array to sync on."""
+    out = None
+    for i in range(2):
+        out = run(i)
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]))
+    with jax.profiler.trace(trace_dir):
+        for i in range(2, 2 + steps):
+            out = run(i)
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]))
+
+
+def run_dcgan(trace_root, steps=8):
+    from tools.bench_all import bench_dcgan  # noqa: F401  (setup twin)
+    from xgan.models import dcgan
+    from xgan.parallel import create_mesh
+    from xgan.train.common import adam, create_state
+    from xgan.train.gan import make_dcgan_step
+    mesh_ctx = create_mesh()
+    dtype = jnp.bfloat16
+    size, batch = 224, 128
+    g_model = dcgan.Generator(latent_dim=100, feature_maps=64,
+                              image_size=size, dtype=dtype)
+    d_model = dcgan.Discriminator(feature_maps=64, image_size=size,
+                                  dtype=dtype)
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    k = jax.random.key(0)
+    holder = {
+        "g": mesh_ctx.replicate(create_state(
+            g_model, g_tx, k, jnp.zeros((2, 100)), train=False)),
+        "d": mesh_ctx.replicate(create_state(
+            d_model, d_tx, k, jnp.zeros((2, size, size, 3)), train=False)),
+    }
+    step = make_dcgan_step(g_model, d_model, g_tx, d_tx, latent_dim=100,
+                           dtype=dtype,
+                           batch_sharding=mesh_ctx.batch_sharding(4),
+                           donate=False)
+    images = mesh_ctx.replicate(jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (512, size, size, 3),
+                                          np.uint8)))
+    idx = jnp.arange(batch, dtype=jnp.int32) % 512
+
+    def run(i):
+        holder["g"], holder["d"], metrics = step(
+            holder["g"], holder["d"], images, idx,
+            jax.random.fold_in(jax.random.key(1), i))
+        return metrics
+
+    d = os.path.join(trace_root, "dcgan224")
+    _traced_run(run, d, steps)
+    from tools.roofline import dcgan_d_fwd, dcgan_g_fwd
+    flops = (3 * dcgan_g_fwd(size) + 8 * dcgan_d_fwd(size)) * batch
+    return analyze(d, "dcgan_train_224px_b128", steps, flops)
+
+
+def run_resnet(trace_root, steps=8):
+    from xgan.models.resnet import ResNet50
+    from xgan.parallel import create_mesh
+    from xgan.train.classifier import classifier_optimizer, make_train_step
+    from xgan.train.common import ModelState
+    mesh_ctx = create_mesh()
+    dtype = jnp.bfloat16
+    size, batch = 224, 128
+    model = ResNet50(num_classes=2, dtype=dtype)
+    tx = classifier_optimizer(1e-3, freeze_base=True)
+    k = jax.random.key(0)
+    v = model.init(k, jnp.zeros((2, size, size, 3)), train=False)
+    holder = {"state": mesh_ctx.replicate(ModelState(
+        params=v["params"], batch_stats=v["batch_stats"],
+        opt_state=tx.init(v["params"])))}
+    step = make_train_step(model, tx, mode="real", dtype=dtype,
+                           batch_sharding=mesh_ctx.batch_sharding(4))
+    images = mesh_ctx.replicate(jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (512, size, size, 3),
+                                          np.uint8)))
+    labels = mesh_ctx.replicate(jnp.asarray(
+        (np.arange(512) % 2).astype(np.int32)))
+    dummy = mesh_ctx.replicate(jnp.zeros((1, size, size, 3), jnp.uint8))
+    dummy_l = mesh_ctx.replicate(jnp.ones((1,), jnp.int32))
+    idx = jnp.arange(batch, dtype=jnp.int32)
+
+    def run(i):
+        holder["state"], losses, _, _ = step(
+            holder["state"], images, labels, dummy, dummy_l, idx,
+            jnp.float32(0.0), jax.random.fold_in(jax.random.key(1), i))
+        return losses
+
+    d = os.path.join(trace_root, "resnet224")
+    _traced_run(run, d, steps)
+    from tools.roofline import resnet50_fwd
+    flops = resnet50_fwd(size) * 1.05 * batch
+    return analyze(d, "resnet50_frozen_224px_b128", steps, flops)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workload", default="all",
+                   choices=["dcgan", "resnet", "all"])
+    p.add_argument("--trace-root", default=None)
+    args = p.parse_args()
+    root = args.trace_root or tempfile.mkdtemp(prefix="xgan_trace_")
+    print(f"traces -> {root}", flush=True)
+    if args.workload in ("dcgan", "all"):
+        run_dcgan(root)
+    if args.workload in ("resnet", "all"):
+        run_resnet(root)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,11 +17,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# Escape hatch for A/B benchmarking the stride-2 conv lowerings
-# (tools/bench_convt.py found microbenchmarks unreliable here; the full
-# train step is the arbiter): XGAN_NO_PHASE=1 restores XLA's dilated
-# lowerings everywhere.
-_PHASE_DISABLED = os.environ.get("XGAN_NO_PHASE") == "1"
+# Stride-2 lowering selector. The phase decomposition (4x k2s1 convs +
+# interleave, xgan/ops/conv.py) was built on an early measurement that
+# XLA's zero-dilated ConvT lowering wasted 3/4 of the MXU work; the
+# hardened step-level A/B (tools/bench_phase_ab.py, r2) showed the
+# OPPOSITE on the current libtpu — this XLA lowers dilated convs at
+# ~peak, and the phase form's extra interleave pass makes the full
+# DCGAN-224 step 0.64x (21.0 ms vs 13.5 ms) and the 64px step 0.90x.
+# Dilated is therefore the default; XGAN_PHASE=1 re-enables the phase
+# lowerings (kept tested, for toolchains where dilated is slow).
+_PHASE_ENABLED = (os.environ.get("XGAN_PHASE") == "1"
+                  and os.environ.get("XGAN_NO_PHASE") != "1")
 
 from xgan.ops.conv import (conv2d, conv2d_k4s2, conv_transpose2d,
                            conv_transpose2d_phase)
@@ -67,10 +73,11 @@ class Conv(nn.Module):
 
     ``torch_bias=True`` uses torch's default U(±1/sqrt(Cin*k*k)) bias init
     (CGAN convs keep default biases, reference cgan.py:70-89).
-    ``phase_grad=True`` routes the (k4, s2, p1) geometry through
+    ``phase_grad=True`` marks the (k4, s2, p1) geometry as eligible for
     conv2d_k4s2, whose input-gradient uses the minimal-FLOP phase
-    decomposition instead of XLA's zero-dilated transposed conv (measured
-    in tools/bench_convt.py). Leave False for modules that need
+    decomposition — only taken when XGAN_PHASE=1 (step-level A/B showed
+    XLA's dilated lowering is faster on the current libtpu; see
+    _PHASE_ENABLED above). Leave False for modules that need
     higher-order autodiff (the WGAN-GP critic's double backward —
     custom_vjp functions are not twice-differentiable)."""
     features: int
@@ -87,7 +94,7 @@ class Conv(nn.Module):
         cin = x.shape[-1]
         w = self.param("kernel", gan_conv_init(),
                        (self.kernel, self.kernel, cin, self.features))
-        if (self.phase_grad and not _PHASE_DISABLED and self.kernel == 4
+        if (self.phase_grad and _PHASE_ENABLED and self.kernel == 4
                 and self.stride == 2 and self.padding == 1):
             y = conv2d_k4s2(x.astype(self.dtype),
                             w.astype(self.dtype)).astype(self.dtype)
@@ -106,12 +113,12 @@ class Conv(nn.Module):
 class ConvTranspose(nn.Module):
     """ConvTranspose2d(k, s, p) with PyTorch geometry; N(0,0.02) init.
 
-    The (k4, s2, p1) geometry lowers via the phase decomposition
-    (4 x k2s1 convs + interleave, xgan/ops/conv.py): XLA's zero-dilated
-    form runs the MXU at 1/4 effective utilization — 6.6x slower measured
-    at the G-224 head layer (tools/bench_convt.py). Numerics are pinned
-    equal in tests/test_ops.py; autodiff composes (pure lax ops), so the
-    WGAN generator keeps it too."""
+    With XGAN_PHASE=1 the (k4, s2, p1) geometry lowers via the phase
+    decomposition (4 x k2s1 convs + interleave, xgan/ops/conv.py);
+    by default it stays on XLA's dilated lowering, which the hardened
+    step-level A/B measured faster (see _PHASE_ENABLED above). Numerics
+    of both forms are pinned equal in tests/test_ops.py; autodiff
+    composes (pure lax ops) in either mode."""
     features: int
     kernel: int
     stride: int = 1
@@ -125,7 +132,7 @@ class ConvTranspose(nn.Module):
         cin = x.shape[-1]
         w = self.param("kernel", gan_conv_init(),
                        (self.kernel, self.kernel, cin, self.features))
-        if (self.phase and not _PHASE_DISABLED and self.kernel == 4
+        if (self.phase and _PHASE_ENABLED and self.kernel == 4
                 and self.stride == 2 and self.padding == 1):
             y = conv_transpose2d_phase(
                 x.astype(self.dtype), w.astype(self.dtype)).astype(self.dtype)
