@@ -103,10 +103,11 @@ def test_batch_norm_matches_torch_semantics():
 
 
 def test_convt_phase_matches_dilated():
-    """conv_transpose2d_phase (4 k2s1 phase convs + interleave; the
-    minimal-FLOP lowering adopted because XLA's zero-dilated form wastes
-    3/4 of the MXU work — tools/bench_convt.py) is numerically the
-    dilated lowering, across layer shapes and odd sizes."""
+    """conv_transpose2d_phase (4 k2s1 phase convs + interleave; kept as
+    the XGAN_PHASE=1 opt-in after the step-level A/B showed this libtpu
+    already lowers the dilated form at ~peak — tools/bench_phase_ab.py)
+    is numerically the dilated lowering, across layer shapes and odd
+    sizes."""
     from xgan.ops.conv import conv_transpose2d_phase
     rng = np.random.default_rng(0)
     for (h, cin, cout) in [(7, 512, 8), (5, 16, 8), (3, 3, 4), (8, 32, 16)]:
@@ -157,3 +158,30 @@ def test_conv2d_k4s2_custom_vjp_matches_autodiff():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_layer_phase_optin_matches_default():
+    """The XGAN_PHASE=1 opt-in path through Conv/ConvTranspose produces
+    the same numbers as the default dilated path (the flag only selects
+    the lowering; tools/bench_phase_ab.py is the perf arbiter)."""
+    import xgan.models.layers as L
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(2, 4, 4, 6)).astype(np.float32))
+    conv = L.Conv(features=5, kernel=4, stride=2, padding=1,
+                  phase_grad=True)
+    convt = L.ConvTranspose(features=5, kernel=4, stride=2, padding=1)
+    pc = conv.init(jax.random.key(0), x)
+    pt = convt.init(jax.random.key(1), z)
+    orig = L._PHASE_ENABLED
+    try:
+        L._PHASE_ENABLED = False
+        y_conv_a, y_convt_a = conv.apply(pc, x), convt.apply(pt, z)
+        L._PHASE_ENABLED = True
+        y_conv_b, y_convt_b = conv.apply(pc, x), convt.apply(pt, z)
+    finally:
+        L._PHASE_ENABLED = orig
+    np.testing.assert_allclose(np.asarray(y_conv_a), np.asarray(y_conv_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_convt_a), np.asarray(y_convt_b),
+                               rtol=1e-5, atol=1e-5)
