@@ -30,9 +30,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _device_plane_events(trace_dir):
-    """Yield (name, dur_ps, line_name) from every device plane in the
-    newest xplane.pb under trace_dir."""
+def _device_plane_events(trace_dir, which="XLA Ops"):
+    """Yield (op_name, dur_ns) from the device plane's serialized-op
+    line in the newest xplane.pb under trace_dir.
+
+    The device plane carries several lines: 'Steps' / 'XLA Modules'
+    (umbrella spans), 'XLA Ops' (the serialized compute timeline — sums
+    to device-busy time), and 'Async XLA Ops' (DMA/copy spans that
+    overlap compute; their sum exceeds wall time by design). Only the
+    requested line is aggregated; event names carry the full HLO def
+    ("%fusion.41 = bf16[...] ...") so the op id is the ' = ' prefix."""
     paths = sorted(glob.glob(os.path.join(
         trace_dir, "**", "*.xplane.pb"), recursive=True))
     if not paths:
@@ -40,14 +47,13 @@ def _device_plane_events(trace_dir):
     with open(paths[-1], "rb") as f:
         data = jax.profiler.ProfileData.from_serialized_xspace(f.read())
     for plane in data.planes:
-        pname = plane.name.lower()
-        if not ("tpu" in pname or "device" in pname or "/device:" in pname):
-            continue
-        if "host" in pname:
+        if not plane.name.startswith("/device:"):
             continue
         for line in plane.lines:
+            if line.name != which:
+                continue
             for ev in line.events:
-                yield ev.name, ev.duration_ns, line.name, plane.name
+                yield ev.name.split(" = ")[0], ev.duration_ns
 
 
 _CATEGORIES = (
@@ -68,27 +74,67 @@ def categorize(name):
     return "other"
 
 
-def analyze(trace_dir, label, steps, step_flops=None):
+def _layer_of(op_name_meta):
+    """Collapse an XLA metadata op_name to model/layer granularity."""
+    if not op_name_meta:
+        return "(no-meta)"
+    parts = [p for p in op_name_meta.split("/") if p != "jit(step)"]
+    out = []
+    for p in parts:
+        if "Generator" in p or "Discriminator" in p or "ResNet" in p \
+                or "Bottleneck" in p:
+            out.append(p.split("(")[-1].rstrip(")"))
+        elif re.match(r"(Conv|ConvTranspose|TorchBatchNorm|Dense|_ConvBN)"
+                      r"_?\w*_\d+", p) or p in ("stem", "fc"):
+            out.append(p)
+            break
+    if out:
+        tag = "/".join(out)
+        if "transpose(" in op_name_meta:
+            tag += " [bwd]"
+        return tag
+    return parts[-1].split(" ")[0][:44]
+
+
+def analyze(trace_dir, label, steps, step_flops=None, hlo_text=None):
     per_op = collections.Counter()
     per_cat = collections.Counter()
-    lines_seen = collections.Counter()
-    for name, dur_ns, line, plane in _device_plane_events(trace_dir):
-        # XLA op lines carry the HLO op events; skip step/annotation lines.
-        lines_seen[(plane, line)] += 1
+    per_layer = collections.Counter()
+    name2meta = {}
+    if hlo_text:
+        pat = re.compile(r"^\s+(%[\w.\-]+) = ")
+        meta_pat = re.compile(r'op_name="([^"]+)"')
+        for ln in hlo_text.splitlines():
+            m = pat.match(ln)
+            if m:
+                mm = meta_pat.search(ln)
+                name2meta[m.group(1)] = mm.group(1) if mm else ""
+    for name, dur_ns in _device_plane_events(trace_dir):
         per_op[name] += dur_ns
         per_cat[categorize(name)] += dur_ns
+        if name2meta:
+            key = name if name.startswith("%") else "%" + name
+            per_layer[_layer_of(name2meta.get(key, ""))] += dur_ns
+    async_ns = sum(d for _, d in _device_plane_events(
+        trace_dir, which="Async XLA Ops"))
     total_ns = sum(per_cat.values())
     out = {
         "workload": label,
         "device_time_ms_total": round(total_ns / 1e6, 3),
         "per_step_ms": round(total_ns / 1e6 / max(steps, 1), 3),
+        "async_copy_demand_ms_per_step": round(
+            async_ns / 1e6 / max(steps, 1), 3),
         "category_pct": {k: round(100.0 * v / max(total_ns, 1), 1)
                          for k, v in per_cat.most_common()},
         "top_ops": [
-            {"op": n[:120], "ms": round(d / 1e6, 3),
+            {"op": n[:60], "ms_per_step": round(d / 1e6 / steps, 3),
              "pct": round(100.0 * d / max(total_ns, 1), 1)}
-            for n, d in per_op.most_common(12)],
+            for n, d in per_op.most_common(10)],
     }
+    if per_layer:
+        out["per_layer_ms_per_step"] = {
+            k: round(v / 1e6 / steps, 3)
+            for k, v in per_layer.most_common(24)}
     if step_flops is not None and total_ns:
         out["achieved_tflops"] = round(
             step_flops * steps / (total_ns / 1e9) / 1e12, 1)
@@ -148,9 +194,11 @@ def run_dcgan(trace_root, steps=8):
 
     d = os.path.join(trace_root, "dcgan224")
     _traced_run(run, d, steps)
+    hlo = step.lower(holder["g"], holder["d"], images, idx,
+                     jax.random.key(1)).compile().as_text()
     from tools.roofline import dcgan_d_fwd, dcgan_g_fwd
     flops = (3 * dcgan_g_fwd(size) + 8 * dcgan_d_fwd(size)) * batch
-    return analyze(d, "dcgan_train_224px_b128", steps, flops)
+    return analyze(d, "dcgan_train_224px_b128", steps, flops, hlo_text=hlo)
 
 
 def run_resnet(trace_root, steps=8):
@@ -187,9 +235,12 @@ def run_resnet(trace_root, steps=8):
 
     d = os.path.join(trace_root, "resnet224")
     _traced_run(run, d, steps)
+    hlo = step.lower(holder["state"], images, labels, dummy, dummy_l, idx,
+                     jnp.float32(0.0), jax.random.key(1)).compile().as_text()
     from tools.roofline import resnet50_fwd
     flops = resnet50_fwd(size) * 1.05 * batch
-    return analyze(d, "resnet50_frozen_224px_b128", steps, flops)
+    return analyze(d, "resnet50_frozen_224px_b128", steps, flops,
+                   hlo_text=hlo)
 
 
 def main():
