@@ -69,10 +69,15 @@ def conv_transpose2d(x, w, *, stride: int = 1, padding: int = 0,
 def conv_transpose2d_phase(x, w):
     """ConvTranspose2d(k=4, s=2, p=1) as FOUR k2s1 phase convolutions.
 
-    The dilated lowering above feeds the MXU a 2x-zero-dilated input: of
-    each output pixel's 16 k4 taps only 4 hit real data, so 3/4 of the
-    conv FLOPs multiply zeros. Decomposing by output phase removes the
-    redundancy entirely: with this module's correlation convention
+    OPT-IN lowering (XGAN_PHASE=1, xgan/models/layers.py): nominally the
+    dilated form feeds the MXU a 2x-zero-dilated input (of each output
+    pixel's 16 k4 taps only 4 hit real data), but the current libtpu's
+    conv emitter already runs the dilated form at ~peak and the phase
+    form's extra interleave pass measured SLOWER at step level
+    (tools/bench_phase_ab.py; docs/MXU_NOTES.md). Kept tested for
+    toolchains where the dilated emitter is naive. Decomposing by output
+    phase removes the redundancy: with this module's correlation
+    convention
     (input row iy through kernel row ky lands on output y' = 2*iy+2-ky,
     probed in tests/test_ops.py), the even output phase y'=2t reads the
     window (x[t-1], x[t]) through kernel rows (0, 2) and the odd phase
@@ -113,9 +118,10 @@ def _phase_grad_x_k4s2(g, w):
     """d/dx of conv2d(x, w, stride=2, padding=1) for k=4, phase form.
 
     dx[iy] = sum_ky g[(iy + 1 - ky)/2] w[ky] (whenever integral): the
-    cotangent flows through a stride-2 TRANSPOSED conv, which XLA lowers
-    with a 2x-zero-dilated input (3/4 wasted MXU work, like the forward
-    ConvT — see conv_transpose2d_phase). Phase form: even input rows
+    cotangent flows through a stride-2 TRANSPOSED conv, nominally a
+    2x-zero-dilated input (see conv_transpose2d_phase — and the same
+    caveat: the current libtpu emits the dilated form at ~peak, so this
+    is an XGAN_PHASE=1 opt-in). Phase form: even input rows
     iy=2t read (g[t-1], g[t]) through kernel rows (3, 1); odd rows
     iy=2t+1 read (g[t], g[t+1]) through rows (2, 0); the in/out channel
     axes of w are swapped. Verified against jax.grad of the lax lowering
@@ -144,8 +150,9 @@ def _phase_grad_x_k4s2(g, w):
 def conv2d_k4s2(x, w):
     """conv2d(x, w, stride=2, padding=1) whose input-gradient uses the
     minimal-FLOP phase decomposition instead of XLA's zero-dilated
-    transposed conv (the D/critic backward pays the same 4x MXU waste the
-    G forward did; measured in tools/bench_convt.py)."""
+    transposed conv. XGAN_PHASE=1 opt-in only: the step-level A/B
+    (tools/bench_phase_ab.py) measured the dilated emitter faster on the
+    current libtpu."""
     return conv2d(x, w, stride=2, padding=1)
 
 

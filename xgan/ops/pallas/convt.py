@@ -1,7 +1,14 @@
 """Pallas TPU kernel: fused ConvTranspose2d(k4,s2,p1) [+ affine + act].
 
-The XLA phase lowering (xgan/ops/conv.py:conv_transpose2d_phase) runs
-four k2s1 convs and then a separate stack/transpose interleave — an
+STATUS: measured-rejected as a default (kept as a tested building
+block). On the current libtpu, XLA's own dilated-conv emitter runs the
+G-224 ladder at ~175 TF/s effective; this kernel measured 0.13-0.66x of
+that per layer and VMEM-OOMs at the 56->112 layer with b128
+(tools/bench_pallas_convt.py; BENCH_DETAIL pallas_convt_fused_rejection,
+docs/MXU_NOTES.md).
+
+Design: the XLA phase lowering (xgan/ops/conv.py:conv_transpose2d_phase)
+runs four k2s1 convs and then a separate stack/transpose interleave — an
 extra pass over the output in HBM. This kernel computes all four output
 phases as MXU matmuls from a VMEM-resident input tile, interleaves them
 in VMEM, and writes the (Bt, 2H, 2W, Cout) block in one output pass,
