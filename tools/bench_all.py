@@ -38,9 +38,15 @@ def timeit(fn, *args, iters=20, warmup=3):
 
     chain(warmup)  # compile + warm
     n_short, n_long = 3, 3 + iters
-    t_short = chain(n_short)
-    t_long = chain(n_long)
-    return max((t_long - t_short) / (n_long - n_short), 1e-9)
+    # Median of 3 slopes: single-slope estimates can go negative under
+    # the remote tunnel's run-to-run variance (seen on the CGAN step).
+    slopes = []
+    for _ in range(3):
+        t_short = chain(n_short)
+        t_long = chain(n_long)
+        slopes.append((t_long - t_short) / (n_long - n_short))
+    good = sorted(s for s in slopes if s > 0) or [1e-9]
+    return good[len(good) // 2]
 
 
 def bench_dcgan(mesh_ctx, dtype, size, batch):
@@ -215,17 +221,22 @@ def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
         mesh_ctx.mesh, jax.sharding.PartitionSpec("data", None))
 
     @jax.jit
-    def sample(vs, key):
-        z = jax.random.normal(key, (batch, 100), jnp.float32)
+    def sample(vs, key, bump):
+        z = jax.random.normal(key, (batch, 100), jnp.float32) + bump
         z = jax.lax.with_sharding_constraint(z, zspec)
-        return tanh_to_u8(model.apply(vs, z, train=False))
+        img = tanh_to_u8(model.apply(vs, z, train=False))
+        # carry a reduction of the output so successive calls form a
+        # true dependency chain (CLAUDE.md dedup/overlap pitfall)
+        return img, jnp.sum(img.astype(jnp.float32)) * 1e-30
 
-    holder = {"i": 0}
+    holder = {"i": 0, "bump": jnp.float32(0.0)}
 
     def run(_):
         holder["i"] += 1
-        return sample(vs, jax.random.fold_in(jax.random.key(2),
-                                             holder["i"]))
+        img, holder["bump"] = sample(
+            vs, jax.random.fold_in(jax.random.key(2), holder["i"]),
+            holder["bump"])
+        return img
     dt = timeit(run, 0, iters=10)
     out = {"device_compute_imgs_per_sec": batch / dt}
 
@@ -288,42 +299,48 @@ print(json.dumps({"n_devices": jax.device_count(),
 
 
 def main():
+    import argparse
     from xgan.parallel import create_mesh
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated result keys to (re)measure; "
+                         "others keep their existing BENCH_DETAIL values")
+    args = ap.parse_args()
     backend = jax.default_backend()
     dtype = jnp.float32 if backend == "cpu" else jnp.bfloat16
     mesh_ctx = create_mesh()
     results = {"backend": backend, "mesh": dict(mesh_ctx.mesh.shape),
                "dtype": dtype.__name__}
 
-    print("DCGAN 64px batch 128...")
-    results["dcgan_train_64px_b128"] = bench_dcgan(mesh_ctx, dtype, 64, 128)
-    print(results["dcgan_train_64px_b128"])
-    print("DCGAN 224px batch 128 (reference config)...")
-    results["dcgan_train_224px_b128"] = bench_dcgan(mesh_ctx, dtype, 224,
-                                                    128)
-    print(results["dcgan_train_224px_b128"])
-    print("WGAN-GP 224px batch 64, 5 critic iters...")
-    results["wgan_gp_train_224px_b64"] = bench_wgan(mesh_ctx, dtype, 224,
-                                                    64)
-    print(results["wgan_gp_train_224px_b64"])
-    print("CGAN 224px batch 32...")
-    results["cgan_train_224px_b32"] = bench_cgan(mesh_ctx, dtype, 224, 32)
-    print(results["cgan_train_224px_b32"])
-    print("ResNet-50 224px batch 32 (frozen base, reference config)...")
-    results["resnet50_train_224px_b32"] = bench_resnet(mesh_ctx, dtype,
-                                                       224, 32)
-    print(results["resnet50_train_224px_b32"])
-    print("ResNet-50 224px batch 128 (frozen base)...")
-    results["resnet50_train_224px_b128"] = bench_resnet(mesh_ctx, dtype,
-                                                        224, 128)
-    print(results["resnet50_train_224px_b128"])
-    print("Sampler 224px batch 256 end-to-end (device + native PNG)...")
-    results["generate_synthetic_224px"] = bench_sampler(
-        mesh_ctx, dtype, 224, 256, "/tmp/bench_sampler_out")
-    print(results["generate_synthetic_224px"])
-    print("Sharded sampling on the 8-device CPU mesh (subprocess)...")
-    results["sharded_sampling_cpu8"] = bench_sharded_sampling_cpu8()
-    print(results["sharded_sampling_cpu8"])
+    tasks = [
+        ("dcgan_train_64px_b128", "DCGAN 64px batch 128",
+         lambda: bench_dcgan(mesh_ctx, dtype, 64, 128)),
+        ("dcgan_train_224px_b128", "DCGAN 224px batch 128 (reference)",
+         lambda: bench_dcgan(mesh_ctx, dtype, 224, 128)),
+        ("wgan_gp_train_224px_b64", "WGAN-GP 224px batch 64, 5 critic iters",
+         lambda: bench_wgan(mesh_ctx, dtype, 224, 64)),
+        ("cgan_train_224px_b32", "CGAN 224px batch 32",
+         lambda: bench_cgan(mesh_ctx, dtype, 224, 32)),
+        ("resnet50_train_224px_b32", "ResNet-50 224px b32 (frozen)",
+         lambda: bench_resnet(mesh_ctx, dtype, 224, 32)),
+        ("resnet50_train_224px_b128", "ResNet-50 224px b128 (frozen)",
+         lambda: bench_resnet(mesh_ctx, dtype, 224, 128)),
+        ("resnet50_train_224px_b128_unfrozen",
+         "ResNet-50 224px b128 (unfrozen)",
+         lambda: bench_resnet(mesh_ctx, dtype, 224, 128, freeze=False)),
+        ("generate_synthetic_224px", "Sampler 224px b256 end-to-end",
+         lambda: bench_sampler(mesh_ctx, dtype, 224, 256,
+                               "/tmp/bench_sampler_out")),
+        ("sharded_sampling_cpu8", "Sharded sampling, 8-device CPU mesh",
+         lambda: bench_sharded_sampling_cpu8()),
+    ]
+    only = set(args.only.split(",")) if args.only else None
+    for key, desc, fn in tasks:
+        if only is not None and key not in only:
+            continue
+        print(f"{desc}...")
+        results[key] = fn()
+        print(results[key])
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAIL.json")

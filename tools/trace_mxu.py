@@ -201,7 +201,54 @@ def run_dcgan(trace_root, steps=8):
     return analyze(d, "dcgan_train_224px_b128", steps, flops, hlo_text=hlo)
 
 
-def run_resnet(trace_root, steps=8):
+def run_wgan(trace_root, steps=4):
+    from xgan.models import wgan
+    from xgan.parallel import create_mesh
+    from xgan.train.common import adam, create_state
+    from xgan.train.wgan import make_wgan_step
+    mesh_ctx = create_mesh()
+    dtype = jnp.bfloat16
+    size, batch, n_critic = 224, 64, 5
+    g_model = wgan.Generator(latent_dim=100, feature_maps=64,
+                             image_size=size, dtype=dtype)
+    c_model = wgan.Critic(feature_maps=64, image_size=size, dtype=dtype)
+    g_tx, c_tx = adam(2e-4, 0.5, 0.9), adam(2e-4, 0.5, 0.9)
+    k = jax.random.key(0)
+    holder = {
+        "g": mesh_ctx.replicate(create_state(
+            g_model, g_tx, k, jnp.zeros((2, 100)), train=False)),
+        "c": mesh_ctx.replicate(create_state(
+            c_model, c_tx, k, jnp.zeros((2, size, size, 3)), train=False)),
+    }
+    step = make_wgan_step(g_model, c_model, g_tx, c_tx, latent_dim=100,
+                          critic_iters=n_critic, lambda_gp=10.0,
+                          dtype=dtype,
+                          batch_sharding=mesh_ctx.batch_sharding(4),
+                          donate=False)
+    images = mesh_ctx.replicate(jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (512, size, size, 3),
+                                          np.uint8)))
+    idx = jnp.arange(batch, dtype=jnp.int32)
+
+    def run(i):
+        holder["g"], holder["c"], _, g_loss = step(
+            holder["g"], holder["c"], images, idx,
+            jax.random.fold_in(jax.random.key(1), i))
+        return g_loss
+
+    d = os.path.join(trace_root, "wgan224")
+    _traced_run(run, d, steps)
+    hlo = step.lower(holder["g"], holder["c"], images, idx,
+                     jax.random.key(1)).compile().as_text()
+    from tools.roofline import wgan_c_fwd, wgan_g_fwd
+    g, c = wgan_g_fwd(size), wgan_c_fwd(size)
+    flops = (n_critic * (3 * g / n_critic + (2 * 3 + 3 * 3) * c)
+             + 3 * g) * batch
+    return analyze(d, "wgan_gp_train_224px_b64", steps, flops,
+                   hlo_text=hlo)
+
+
+def run_resnet(trace_root, steps=8, frozen=True):
     from xgan.models.resnet import ResNet50
     from xgan.parallel import create_mesh
     from xgan.train.classifier import classifier_optimizer, make_train_step
@@ -210,7 +257,7 @@ def run_resnet(trace_root, steps=8):
     dtype = jnp.bfloat16
     size, batch = 224, 128
     model = ResNet50(num_classes=2, dtype=dtype)
-    tx = classifier_optimizer(1e-3, freeze_base=True)
+    tx = classifier_optimizer(1e-3, freeze_base=frozen)
     k = jax.random.key(0)
     v = model.init(k, jnp.zeros((2, size, size, 3)), train=False)
     holder = {"state": mesh_ctx.replicate(ModelState(
@@ -233,20 +280,23 @@ def run_resnet(trace_root, steps=8):
             jnp.float32(0.0), jax.random.fold_in(jax.random.key(1), i))
         return losses
 
-    d = os.path.join(trace_root, "resnet224")
+    tag = "frozen" if frozen else "unfrozen"
+    d = os.path.join(trace_root, f"resnet224_{tag}")
     _traced_run(run, d, steps)
     hlo = step.lower(holder["state"], images, labels, dummy, dummy_l, idx,
                      jnp.float32(0.0), jax.random.key(1)).compile().as_text()
     from tools.roofline import resnet50_fwd
-    flops = resnet50_fwd(size) * 1.05 * batch
-    return analyze(d, "resnet50_frozen_224px_b128", steps, flops,
+    mult = 1.05 if frozen else 3.0
+    flops = resnet50_fwd(size) * mult * batch
+    return analyze(d, f"resnet50_{tag}_224px_b128", steps, flops,
                    hlo_text=hlo)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workload", default="all",
-                   choices=["dcgan", "resnet", "all"])
+                   choices=["dcgan", "resnet", "resnet-unfrozen", "wgan",
+                            "all"])
     p.add_argument("--trace-root", default=None)
     args = p.parse_args()
     root = args.trace_root or tempfile.mkdtemp(prefix="xgan_trace_")
@@ -255,6 +305,10 @@ def main():
         run_dcgan(root)
     if args.workload in ("resnet", "all"):
         run_resnet(root)
+    if args.workload in ("resnet-unfrozen", "all"):
+        run_resnet(root, frozen=False)
+    if args.workload in ("wgan", "all"):
+        run_wgan(root)
 
 
 if __name__ == "__main__":
