@@ -110,6 +110,12 @@ def analyze(trace_dir, label, steps, step_flops=None, hlo_text=None):
                 mm = meta_pat.search(ln)
                 name2meta[m.group(1)] = mm.group(1) if mm else ""
     for name, dur_ns in _device_plane_events(trace_dir):
+        # control-flow umbrellas (while/conditional/call) nest their
+        # body ops, which the timeline also reports individually —
+        # counting both would double the loop body (seen on the WGAN
+        # critic lax.scan).
+        if re.match(r"%?(while|conditional|call)[.\d]*$", name):
+            continue
         per_op[name] += dur_ns
         per_cat[categorize(name)] += dur_ns
         if name2meta:
