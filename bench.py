@@ -8,6 +8,12 @@ JSON line:
 
   {"metric": ..., "value": imgs/sec, "unit": "imgs/sec", "vs_baseline": x}
 
+Measures the trainers' K=8 --steps-per-call dispatch mode (K training
+iterations per dispatched lax.scan program, numerically identical to the
+K=1 loop — tests/test_multistep.py): at 64px the scan amortizes both the
+remote-tunnel dispatch and the per-program device overhead, 2.7x the
+single-dispatch rate (tools/bench_multistep.py).
+
 vs_baseline compares against the PyTorch-CPU reference step rate measured
 on this host by tools/measure_torch_baseline.py (BASELINE_MEASURED.json;
 the BASELINE.json north-star asks for >= 10x).
@@ -26,6 +32,7 @@ LATENT = 100
 FEATURE_MAPS = 64
 WARMUP = 3
 ITERS = 20
+STEPS_PER_CALL = 8
 FALLBACK_BASELINE_IMGS_PER_SEC = 41.66  # torch-CPU, this host (2026-08)
 
 
@@ -58,39 +65,46 @@ def main():
 
     step = make_dcgan_step(g_model, d_model, g_tx, d_tx, latent_dim=LATENT,
                            dtype=dtype,
-                           batch_sharding=mesh_ctx.batch_sharding(4))
+                           batch_sharding=mesh_ctx.batch_sharding(4),
+                           steps_per_call=STEPS_PER_CALL)
     images = mesh_ctx.replicate(jnp.asarray(
         np.random.default_rng(0).integers(
             0, 255, (4096, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8)))
     rng = np.random.default_rng(1)
+    base_key = jax.random.key(2)
 
-    def run(i):
-        idx = jnp.asarray(rng.integers(0, 4096, (batch,), np.int64)
-                          .astype(np.int32))
-        return step(g_state, d_state, images, idx, jax.random.fold_in(
-            jax.random.key(2), i))
+    def run(chunk_i):
+        # distinct rows per scanned step (identical rows would let XLA
+        # hoist the gather out of the scan)
+        idx_chunk = jnp.asarray(
+            rng.integers(0, 4096, (STEPS_PER_CALL, batch), np.int64)
+            .astype(np.int32))
+        return step(g_state, d_state, images, idx_chunk,
+                    jnp.int32(chunk_i * STEPS_PER_CALL), base_key)
 
     # Chain-slope timing with a device_get (true host sync) at the end of
     # each chain: dependent steps cannot be deduplicated or reordered, and
     # the slope between two chain lengths cancels the remote tunnel's
     # large, variable dispatch/sync overhead. (block_until_ready is NOT a
-    # reliable sync on this remote backend — see CLAUDE.md.)
-    def chain(n, base):
+    # reliable sync on this remote backend — see CLAUDE.md.) Chains are
+    # counted in K-step chunks; the slope divides back to per-step.
+    def chain(n_chunks, base):
         nonlocal g_state, d_state
         metrics = None
         t0 = time.time()
-        for i in range(n):
-            g_state, d_state, metrics = run(base + i)
+        for c in range(n_chunks):
+            g_state, d_state, metrics = run(base + c)
         np.asarray(jax.device_get(metrics))
         return time.time() - t0
 
     chain(WARMUP, 0)  # compile + warm
-    n_short, n_long = 5, 5 + ITERS * 2
+    n_short, n_long = 2, 2 + ITERS // 2
     slopes = []
     for rep in range(3):  # median of 3 estimates: the tunnel is noisy
         t_short = chain(n_short, 100 + 1000 * rep)
         t_long = chain(n_long, 200 + 1000 * rep)
-        slopes.append(max((t_long - t_short) / (n_long - n_short), 1e-9))
+        slopes.append(max((t_long - t_short) / (n_long - n_short)
+                          / STEPS_PER_CALL, 1e-9))
     slopes.sort()
     dt = slopes[1]
     imgs_per_sec = batch / dt

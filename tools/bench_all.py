@@ -49,7 +49,7 @@ def timeit(fn, *args, iters=20, warmup=3):
     return good[len(good) // 2]
 
 
-def bench_dcgan(mesh_ctx, dtype, size, batch):
+def bench_dcgan(mesh_ctx, dtype, size, batch, steps_per_call=1):
     from xgan.models import dcgan
     from xgan.train.common import adam, create_state
     from xgan.train.gan import make_dcgan_step
@@ -66,23 +66,37 @@ def bench_dcgan(mesh_ctx, dtype, size, batch):
     step = make_dcgan_step(g_model, d_model, g_tx, d_tx, latent_dim=100,
                            dtype=dtype,
                            batch_sharding=mesh_ctx.batch_sharding(4),
-                           donate=False)
+                           donate=False, steps_per_call=steps_per_call)
     n_store = 2048 if size <= 64 else 512
     images = mesh_ctx.replicate(jnp.asarray(np.random.default_rng(0)
                                             .integers(0, 255,
                                                       (n_store, size, size,
                                                        3), np.uint8)))
     idx = jnp.arange(batch, dtype=jnp.int32) % n_store
+    rng = np.random.default_rng(5)
     holder = {"g": g_state, "d": d_state, "i": 0}
 
     def run(_):
         holder["i"] += 1
-        holder["g"], holder["d"], metrics = step(
-            holder["g"], holder["d"], images, idx,
-            jax.random.fold_in(jax.random.key(1), holder["i"]))
+        if steps_per_call > 1:
+            # distinct rows per scanned step: identical rows would let
+            # XLA hoist the gather out of the scan
+            idx_chunk = jnp.asarray(
+                rng.integers(0, n_store, (steps_per_call, batch), np.int64)
+                .astype(np.int32))
+            holder["g"], holder["d"], metrics = step(
+                holder["g"], holder["d"], images, idx_chunk,
+                jnp.int32(holder["i"] * steps_per_call), jax.random.key(1))
+        else:
+            holder["g"], holder["d"], metrics = step(
+                holder["g"], holder["d"], images, idx,
+                jax.random.fold_in(jax.random.key(1), holder["i"]))
         return metrics
-    dt = timeit(run, 0, iters=20)
-    return {"sec_per_step": dt, "imgs_per_sec": batch / dt}
+    dt = timeit(run, 0, iters=20) / steps_per_call
+    out = {"sec_per_step": dt, "imgs_per_sec": batch / dt}
+    if steps_per_call > 1:
+        out["steps_per_call"] = steps_per_call
+    return out
 
 
 def bench_wgan(mesh_ctx, dtype, size, batch, critic_iters=5):
@@ -315,6 +329,9 @@ def main():
     tasks = [
         ("dcgan_train_64px_b128", "DCGAN 64px batch 128",
          lambda: bench_dcgan(mesh_ctx, dtype, 64, 128)),
+        ("dcgan_train_64px_b128_k8",
+         "DCGAN 64px batch 128, --steps-per-call 8",
+         lambda: bench_dcgan(mesh_ctx, dtype, 64, 128, steps_per_call=8)),
         ("dcgan_train_224px_b128", "DCGAN 224px batch 128 (reference)",
          lambda: bench_dcgan(mesh_ctx, dtype, 224, 128)),
         ("wgan_gp_train_224px_b64", "WGAN-GP 224px batch 64, 5 critic iters",

@@ -14,6 +14,8 @@ TPU-native extra flags (accepted by every trainer):
   --compute-dtype   auto|bf16|f32 (auto: bf16 on TPU, f32 on CPU)
   --cache-dir       decode-once uint8 store cache
   --limit-batches   cap batches/epoch (smoke tests)
+  --steps-per-call  K>1 fuses K train steps into one lax.scan dispatch
+                    (GAN trainers; amortizes per-step dispatch overhead)
 """
 from __future__ import annotations
 
@@ -66,6 +68,12 @@ def add_tpu_args(p: argparse.ArgumentParser):
     p.add_argument("--cache-dir", type=str, default="./data/cache")
     p.add_argument("--limit-batches", type=int, default=0,
                    help="Debug: cap batches per epoch (0 = all)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="Fuse K training steps into one dispatched "
+                        "lax.scan program (K=1 reproduces the reference "
+                        "loop exactly; K>1 amortizes per-step dispatch "
+                        "overhead, with sample-sheet emission quantized "
+                        "to chunk boundaries)")
     p.add_argument("--trace-dir", type=str, default="",
                    help="Write a jax.profiler trace of one epoch here")
     p.add_argument("--resume-from", type=str, default="",

@@ -48,10 +48,18 @@ def feature_matching_loss(real_feats, fake_feats):
 
 def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
                    latent_dim: int, dtype=jnp.float32,
-                   batch_sharding=None, donate: bool = True):
+                   batch_sharding=None, donate: bool = True,
+                   steps_per_call: int = 1):
     """Returns jitted step(g_state, d_state, vgg_params, images_u8,
     labels_all, idx, epoch, key) -> (g_state, d_state, metrics[7]) with
-    metrics = [loss_G, loss_D, D_x, D_G_z1, D_G_z2, perceptual, fm]."""
+    metrics = [loss_G, loss_D, D_x, D_G_z1, D_G_z2, perceptual, fm].
+
+    ``steps_per_call=K > 1`` returns the K-step lax.scan form instead:
+    ``multi(g_state, d_state, vgg_params, images_u8, labels_all,
+    idx_chunk[K, B], epoch, iters0, key) ->
+    (g_state, d_state, metrics[K, 7])`` with per-step keys
+    ``fold_in(key, iters0 + t)`` — the identical PRNG stream of the K=1
+    epoch loop (see make_dcgan_step)."""
 
     def step(g_state: ModelState, d_state: ModelState, vgg_params,
              images_u8, labels_all, idx, epoch, key):
@@ -133,4 +141,21 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
         return g_state, d_state, metrics
 
     donate_args = (0, 1) if donate else ()
-    return jax.jit(step, donate_argnums=donate_args)
+    if steps_per_call <= 1:
+        return jax.jit(step, donate_argnums=donate_args)
+
+    def multi(g_state, d_state, vgg_params, images_u8, labels_all,
+              idx_chunk, epoch, iters0, key):
+        def body(carry, xs):
+            idx, t = xs
+            g, d, m = step(carry[0], carry[1], vgg_params, images_u8,
+                           labels_all, idx, epoch,
+                           jax.random.fold_in(key, t))
+            return (g, d), m
+
+        (g_state, d_state), metrics = jax.lax.scan(
+            body, (g_state, d_state),
+            (idx_chunk, iters0 + jnp.arange(steps_per_call)))
+        return g_state, d_state, metrics
+
+    return jax.jit(multi, donate_argnums=donate_args)

@@ -107,9 +107,15 @@ def train_cgan(args):
     d_state = mesh_ctx.replicate(d_state)
     vgg_params = mesh_ctx.replicate(vgg_params)
 
+    step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,
+                       batch_sharding=mesh_ctx.batch_sharding(4))
     step_fn = make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx,
-                             latent_dim=args.latent_dim, dtype=dtype,
-                             batch_sharding=mesh_ctx.batch_sharding(4))
+                             **step_kwargs)
+    # K>1: K steps per dispatch; epoch tails use the single-step program.
+    k_steps = max(1, int(getattr(args, "steps_per_call", 1) or 1))
+    multi_fn = (make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx,
+                               steps_per_call=k_steps, **step_kwargs)
+                if k_steps > 1 else None)
 
     fixed_noise = jax.random.normal(
         k_fix, (args.vis_batch_size, args.latent_dim), jnp.float32)
@@ -155,22 +161,34 @@ def train_cgan(args):
         num_batches = batches.shape[0]
         epoch_metrics = []
 
-        for i in range(num_batches):
-            idx = jnp.asarray(batches[i])
-            g_state, d_state, metrics = step_fn(
-                g_state, d_state, vgg_params, device_store.images,
-                device_store.labels, idx, jnp.int32(epoch),
-                jax.random.fold_in(k_data, iters))
+        i = 0
+        while i < num_batches:
+            chunk = (k_steps if (multi_fn is not None
+                                 and i + k_steps <= num_batches) else 1)
+            if chunk > 1:
+                g_state, d_state, metrics = multi_fn(
+                    g_state, d_state, vgg_params, device_store.images,
+                    device_store.labels, jnp.asarray(batches[i:i + chunk]),
+                    jnp.int32(epoch), jnp.int32(iters), k_data)
+            else:
+                g_state, d_state, metrics = step_fn(
+                    g_state, d_state, vgg_params, device_store.images,
+                    device_store.labels, jnp.asarray(batches[i]),
+                    jnp.int32(epoch), jax.random.fold_in(k_data, iters))
             epoch_metrics.append(metrics)
 
-            if (iters % args.save_interval == 0) or (
-                    epoch == args.epochs - 1 and i == num_batches - 1):
-                sample_grid(os.path.join(
-                    image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
-                               f"iter_{iters:06d}.png"))
-            iters += 1
+            for t in range(iters, iters + chunk):
+                if (t % args.save_interval == 0) or (
+                        epoch == args.epochs - 1
+                        and i + (t - iters) == num_batches - 1):
+                    sample_grid(os.path.join(
+                        image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                                   f"iter_{t:06d}.png"))
+            iters += chunk
+            i += chunk
 
-        em = np.asarray(jax.device_get(jnp.stack(epoch_metrics)))
+        em = np.asarray(jax.device_get(jnp.concatenate(
+            [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
         timer.tick(num_batches)
         history["G_losses_iter"].extend(em[:, 0].tolist())
         history["D_losses_iter"].extend(em[:, 1].tolist())

@@ -35,10 +35,18 @@ FAKE_LABEL = 0.0
 
 def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
                     dtype=jnp.float32, batch_sharding=None,
-                    donate: bool = True):
+                    donate: bool = True, steps_per_call: int = 1):
     """Returns jitted step(g_state, d_state, images_u8, idx, key) ->
     (g_state, d_state, metrics[5]) with metrics =
-    [loss_G, loss_D, D_x, D_G_z1, D_G_z2]."""
+    [loss_G, loss_D, D_x, D_G_z1, D_G_z2].
+
+    With ``steps_per_call=K > 1`` the returned function is instead a
+    K-step ``lax.scan`` over the same body —
+    ``multi(g_state, d_state, images_u8, idx_chunk[K, B], iters0, key) ->
+    (g_state, d_state, metrics[K, 5])`` — one dispatch for K training
+    iterations. Per-step PRNG keys are ``fold_in(key, iters0 + t)``, the
+    exact stream the K=1 epoch loop uses, so the two dispatch modes are
+    numerically identical (tests/test_multistep.py)."""
 
     def step(g_state: ModelState, d_state: ModelState,
              images_u8, idx, key):
@@ -97,4 +105,19 @@ def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
         return g_state, d_state, metrics
 
     donate_args = (0, 1) if donate else ()
-    return jax.jit(step, donate_argnums=donate_args)
+    if steps_per_call <= 1:
+        return jax.jit(step, donate_argnums=donate_args)
+
+    def multi(g_state, d_state, images_u8, idx_chunk, iters0, key):
+        def body(carry, xs):
+            idx, t = xs
+            g, d, m = step(carry[0], carry[1], images_u8, idx,
+                           jax.random.fold_in(key, t))
+            return (g, d), m
+
+        (g_state, d_state), metrics = jax.lax.scan(
+            body, (g_state, d_state),
+            (idx_chunk, iters0 + jnp.arange(steps_per_call)))
+        return g_state, d_state, metrics
+
+    return jax.jit(multi, donate_argnums=donate_args)

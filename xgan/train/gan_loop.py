@@ -103,9 +103,16 @@ def train_dcgan(args):
     d_state = mesh_ctx.replicate(d_state)
     print("Generator and Discriminator initialized.")
 
-    step_fn = make_dcgan_step(g_model, d_model, g_tx, d_tx,
-                              latent_dim=args.latent_dim, dtype=dtype,
-                              batch_sharding=mesh_ctx.batch_sharding(4))
+    step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,
+                       batch_sharding=mesh_ctx.batch_sharding(4))
+    step_fn = make_dcgan_step(g_model, d_model, g_tx, d_tx, **step_kwargs)
+    # K>1: a second program that runs K steps per dispatch (lax.scan over
+    # the same body, identical PRNG stream); the tail of an epoch that
+    # doesn't fill a chunk falls back to the single-step program.
+    k_steps = max(1, int(getattr(args, "steps_per_call", 1) or 1))
+    multi_fn = (make_dcgan_step(g_model, d_model, g_tx, d_tx,
+                                steps_per_call=k_steps, **step_kwargs)
+                if k_steps > 1 else None)
     fixed_noise = jax.random.normal(
         k_fix, (args.vis_batch_size, args.latent_dim), jnp.float32)
 
@@ -158,23 +165,36 @@ def train_dcgan(args):
                                and epoch == start_epoch + 1) else None)
         trace_ctx.__enter__()
 
-        for i in range(num_batches):
-            idx = jnp.asarray(batches[i])
-            step_key = jax.random.fold_in(k_data, iters)
-            g_state, d_state, metrics = step_fn(
-                g_state, d_state, device_store.images, idx, step_key)
+        i = 0
+        while i < num_batches:
+            chunk = (k_steps if (multi_fn is not None
+                                 and i + k_steps <= num_batches) else 1)
+            if chunk > 1:
+                g_state, d_state, metrics = multi_fn(
+                    g_state, d_state, device_store.images,
+                    jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
+                    k_data)
+            else:
+                g_state, d_state, metrics = step_fn(
+                    g_state, d_state, device_store.images,
+                    jnp.asarray(batches[i]),
+                    jax.random.fold_in(k_data, iters))
             epoch_metrics.append(metrics)
 
-            if (iters % args.save_interval == 0) or (
-                    epoch == args.epochs - 1 and i == num_batches - 1):
-                sample_grid(os.path.join(
-                    gan_output_dir,
-                    f"fake_samples_epoch_{epoch + 1:03d}_"
-                    f"iter_{iters:06d}.png"))
-            iters += 1
+            for t in range(iters, iters + chunk):
+                if (t % args.save_interval == 0) or (
+                        epoch == args.epochs - 1
+                        and i + (t - iters) == num_batches - 1):
+                    sample_grid(os.path.join(
+                        gan_output_dir,
+                        f"fake_samples_epoch_{epoch + 1:03d}_"
+                        f"iter_{t:06d}.png"))
+            iters += chunk
+            i += chunk
 
         # One device->host sync per epoch for all per-iter metrics.
-        em = np.asarray(jax.device_get(jnp.stack(epoch_metrics)))
+        em = np.asarray(jax.device_get(jnp.concatenate(
+            [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
         trace_ctx.__exit__(None, None, None)
         timer.tick(num_batches)
         history["G_losses_iter"].extend(em[:, 0].tolist())

@@ -55,9 +55,15 @@ def gradient_penalty(apply_fn, real, fake, key, lambda_gp: float = 10.0):
 def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
                    critic_iters: int, lambda_gp: float,
                    dtype=jnp.float32, batch_sharding=None,
-                   donate: bool = True):
+                   donate: bool = True, steps_per_call: int = 1):
     """Returns jitted step(g_state, c_state, images_u8, idx, key) ->
-    (g_state, c_state, d_losses (critic_iters,), g_loss)."""
+    (g_state, c_state, d_losses (critic_iters,), g_loss).
+
+    ``steps_per_call=K > 1`` returns the K-step lax.scan form instead:
+    ``multi(g_state, c_state, images_u8, idx_chunk[K, B], iters0, key) ->
+    (g_state, c_state, d_losses[K, critic_iters], g_losses[K])`` with
+    per-step keys ``fold_in(key, iters0 + t)`` — the identical PRNG
+    stream of the K=1 epoch loop (see make_dcgan_step)."""
 
     def step(g_state: ModelState, c_state: ModelState, images_u8, idx, key):
         k_flip, k_critic, k_g = jax.random.split(key, 3)
@@ -129,4 +135,19 @@ def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
         return g_state, c_state, d_losses, g_loss
 
     donate_args = (0, 1) if donate else ()
-    return jax.jit(step, donate_argnums=donate_args)
+    if steps_per_call <= 1:
+        return jax.jit(step, donate_argnums=donate_args)
+
+    def multi(g_state, c_state, images_u8, idx_chunk, iters0, key):
+        def body(carry, xs):
+            idx, t = xs
+            g, c, d_losses, g_loss = step(carry[0], carry[1], images_u8,
+                                          idx, jax.random.fold_in(key, t))
+            return (g, c), (d_losses, g_loss)
+
+        (g_state, c_state), (d_losses, g_losses) = jax.lax.scan(
+            body, (g_state, c_state),
+            (idx_chunk, iters0 + jnp.arange(steps_per_call)))
+        return g_state, c_state, d_losses, g_losses
+
+    return jax.jit(multi, donate_argnums=donate_args)

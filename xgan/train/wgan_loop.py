@@ -70,11 +70,16 @@ def train_wgan(args):
     g_state = mesh_ctx.replicate(g_state)
     c_state = mesh_ctx.replicate(c_state)
 
-    step_fn = make_wgan_step(g_model, c_model, g_tx, c_tx,
-                             latent_dim=args.latent_dim,
-                             critic_iters=args.critic_iters,
-                             lambda_gp=args.lambda_gp, dtype=dtype,
-                             batch_sharding=mesh_ctx.batch_sharding(4))
+    step_kwargs = dict(latent_dim=args.latent_dim,
+                       critic_iters=args.critic_iters,
+                       lambda_gp=args.lambda_gp, dtype=dtype,
+                       batch_sharding=mesh_ctx.batch_sharding(4))
+    step_fn = make_wgan_step(g_model, c_model, g_tx, c_tx, **step_kwargs)
+    # K>1: K steps per dispatch; epoch tails use the single-step program.
+    k_steps = max(1, int(getattr(args, "steps_per_call", 1) or 1))
+    multi_fn = (make_wgan_step(g_model, c_model, g_tx, c_tx,
+                               steps_per_call=k_steps, **step_kwargs)
+                if k_steps > 1 else None)
     fixed_noise = jax.random.normal(
         k_fix, (args.vis_batch_size, args.latent_dim), jnp.float32)
 
@@ -111,24 +116,39 @@ def train_wgan(args):
         num_batches = batches.shape[0]
         d_acc, g_acc = [], []
 
-        for i in range(num_batches):
-            idx = jnp.asarray(batches[i])
-            g_state, c_state, d_losses, g_loss = step_fn(
-                g_state, c_state, device_store.images, idx,
-                jax.random.fold_in(k_data, iters))
+        i = 0
+        while i < num_batches:
+            chunk = (k_steps if (multi_fn is not None
+                                 and i + k_steps <= num_batches) else 1)
+            if chunk > 1:
+                g_state, c_state, d_losses, g_loss = multi_fn(
+                    g_state, c_state, device_store.images,
+                    jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
+                    k_data)
+            else:
+                g_state, c_state, d_losses, g_loss = step_fn(
+                    g_state, c_state, device_store.images,
+                    jnp.asarray(batches[i]),
+                    jax.random.fold_in(k_data, iters))
             d_acc.append(d_losses)
             g_acc.append(g_loss)
 
-            if (iters % args.save_interval == 0) or (
-                    epoch == args.epochs - 1 and i == num_batches - 1):
-                sample_grid(os.path.join(
-                    image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
-                               f"iter_{iters:06d}.png"))
-            iters += 1
+            for t in range(iters, iters + chunk):
+                if (t % args.save_interval == 0) or (
+                        epoch == args.epochs - 1
+                        and i + (t - iters) == num_batches - 1):
+                    sample_grid(os.path.join(
+                        image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                                   f"iter_{t:06d}.png"))
+            iters += chunk
+            i += chunk
 
-        d_ep = np.concatenate(jax.device_get(
-            [jnp.asarray(x) for x in d_acc]))
-        g_ep = np.asarray(jax.device_get(jnp.stack(g_acc)))
+        # (critic_iters,) per single step, (K, critic_iters) per chunk;
+        # flatten in iteration order either way.
+        d_ep = np.concatenate([np.asarray(x).reshape(-1)
+                               for x in jax.device_get(d_acc)])
+        g_ep = np.concatenate([np.atleast_1d(np.asarray(x))
+                               for x in jax.device_get(g_acc)])
         timer.tick(num_batches)
         history["D_losses"].extend(d_ep.tolist())
         history["G_losses"].extend(g_ep.tolist())
