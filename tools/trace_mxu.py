@@ -57,7 +57,10 @@ def _device_plane_events(trace_dir, which="XLA Ops"):
 
 
 _CATEGORIES = (
-    ("convolution", re.compile(r"convolution|conv[0-9._-]|%conv")),
+    # NB: must not match %convert_... / %convert_reduce_fusion events
+    # (a BN-stat reduce epilogue, not a convolution) — an earlier
+    # r"%conv" alternative did, inflating the convolution bucket.
+    ("convolution", re.compile(r"convolution|%conv[0-9._-]")),
     ("matmul", re.compile(r"\bdot\b|dot_general|matmul")),
     ("fusion", re.compile(r"fusion")),
     ("copy/transpose", re.compile(r"copy|transpose|reshape|bitcast")),

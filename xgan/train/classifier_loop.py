@@ -378,6 +378,12 @@ def train_classifier(args):
     dtype = resolve_dtype(args.compute_dtype)
     print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
           f"{dtype.__name__}; strategy {strategy}; k_folds {args.k_folds}")
+    if getattr(args, "steps_per_call", 1) and args.steps_per_call > 1:
+        # Measured: the 224px classifier step (~13 ms) fully hides
+        # dispatch, so multi-step scan buys ~nothing here (BENCH_DETAIL
+        # multistep_dispatch_ab); the flag is a GAN-trainer optimization.
+        print("Note: --steps-per-call applies to the GAN trainers; "
+              "ignored for classifier training.")
     real_dev = DeviceStore(train_store, mesh_ctx)
     synth_dev = DeviceStore(synth_store, mesh_ctx)
     test_dev = DeviceStore(test_store, mesh_ctx)
