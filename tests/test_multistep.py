@@ -181,3 +181,40 @@ def test_gan_loop_steps_per_call_matches_single(fake_dataset, tmp_path):
     for key in h1:
         np.testing.assert_allclose(np.asarray(h1[key]),
                                    np.asarray(h2[key]), **TOL)
+
+
+def test_wgan_cgan_loops_run_with_steps_per_call(fake_dataset, tmp_path):
+    """The chunked dispatch path of the WGAN/CGAN epoch loops: history
+    lengths/schemas must be identical to the K=1 shape (flattening of
+    the (K, critic_iters) / (K, 7) stacked outputs)."""
+    from xgan.train.cgan_loop import train_cgan
+    from xgan.train.wgan_loop import train_wgan
+
+    common = dict(
+        data_dir=fake_dataset["data_dir"],
+        num_channels=3, latent_dim=8, epochs=1, batch_size=8, lr=2e-4,
+        beta1=0.5, workers=0, vis_batch_size=8, save_interval=500,
+        checkpoint_interval=10, image_size=32, seed=0, compute_dtype="f32",
+        limit_batches=3, trace_dir="", cpu=True, steps_per_call=2)
+
+    wargs = argparse.Namespace(
+        model_dir=str(tmp_path / "w/m"), output_dir=str(tmp_path / "w/r"),
+        results_dir=str(tmp_path / "w/r/metrics"),
+        figures_dir=str(tmp_path / "w/r/figures"),
+        cache_dir=str(tmp_path / "w/cache"),
+        feature_maps_g=4, feature_maps_d=4, critic_iters=2, lambda_gp=10.0,
+        **common)
+    wh = train_wgan(wargs)
+    assert len(wh["D_losses"]) == 6   # 3 batches x 2 critic iters
+    assert len(wh["G_losses"]) == 3
+    assert len(wh["D_losses_epoch"]) == 1
+
+    cargs = argparse.Namespace(
+        model_dir=str(tmp_path / "c/m"), output_dir=str(tmp_path / "c/r"),
+        results_dir=str(tmp_path / "c/r/metrics"),
+        figures_dir=str(tmp_path / "c/r/figures"),
+        cache_dir=str(tmp_path / "c/cache"),
+        feature_maps_g=8, feature_maps_d=8, vgg_path="", **common)
+    ch = train_cgan(cargs)
+    assert len(ch["G_losses_iter"]) == 3
+    assert len(ch["perceptual_losses"]) == 1
