@@ -257,6 +257,60 @@ def run_wgan(trace_root, steps=4):
                    hlo_text=hlo)
 
 
+def run_dcgan64_multistep(trace_root, chunks=3, k=8):
+    """The bench.py headline config: DCGAN-64 b128, --steps-per-call 8.
+
+    The scan body's ops are reported individually in the XLA Ops line
+    (the %while umbrella is excluded by analyze), so dividing by
+    chunks*k yields true per-train-step time."""
+    from xgan.models import dcgan
+    from xgan.parallel import create_mesh
+    from xgan.train.common import adam, create_state
+    from xgan.train.gan import make_dcgan_step
+    mesh_ctx = create_mesh()
+    dtype = jnp.bfloat16
+    size, batch = 64, 128
+    g_model = dcgan.Generator(latent_dim=100, feature_maps=64,
+                              image_size=size, dtype=dtype)
+    d_model = dcgan.Discriminator(feature_maps=64, image_size=size,
+                                  dtype=dtype)
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    key = jax.random.key(0)
+    holder = {
+        "g": mesh_ctx.replicate(create_state(
+            g_model, g_tx, key, jnp.zeros((2, 100)), train=False)),
+        "d": mesh_ctx.replicate(create_state(
+            d_model, d_tx, key, jnp.zeros((2, size, size, 3)),
+            train=False)),
+    }
+    step = make_dcgan_step(g_model, d_model, g_tx, d_tx, latent_dim=100,
+                           dtype=dtype,
+                           batch_sharding=mesh_ctx.batch_sharding(4),
+                           donate=False, steps_per_call=k)
+    images = mesh_ctx.replicate(jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2048, size, size, 3),
+                                          np.uint8)))
+    rng = np.random.default_rng(5)
+
+    def run(i):
+        idx_chunk = jnp.asarray(
+            rng.integers(0, 2048, (k, batch), np.int64).astype(np.int32))
+        holder["g"], holder["d"], metrics = step(
+            holder["g"], holder["d"], images, idx_chunk,
+            jnp.int32(i * k), jax.random.key(1))
+        return metrics
+
+    d = os.path.join(trace_root, "dcgan64k8")
+    _traced_run(run, d, chunks)
+    idx_chunk = jnp.zeros((k, batch), jnp.int32)
+    hlo = step.lower(holder["g"], holder["d"], images, idx_chunk,
+                     jnp.int32(0), jax.random.key(1)).compile().as_text()
+    from tools.roofline import dcgan_d_fwd, dcgan_g_fwd
+    flops = (3 * dcgan_g_fwd(size) + 8 * dcgan_d_fwd(size)) * batch
+    return analyze(d, "dcgan_train_64px_b128_k8", chunks * k, flops,
+                   hlo_text=hlo)
+
+
 def run_resnet(trace_root, steps=8, frozen=True):
     from xgan.models.resnet import ResNet50
     from xgan.parallel import create_mesh
@@ -304,14 +358,16 @@ def run_resnet(trace_root, steps=8, frozen=True):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workload", default="all",
-                   choices=["dcgan", "resnet", "resnet-unfrozen", "wgan",
-                            "all"])
+                   choices=["dcgan", "dcgan64k8", "resnet",
+                            "resnet-unfrozen", "wgan", "all"])
     p.add_argument("--trace-root", default=None)
     args = p.parse_args()
     root = args.trace_root or tempfile.mkdtemp(prefix="xgan_trace_")
     print(f"traces -> {root}", flush=True)
     if args.workload in ("dcgan", "all"):
         run_dcgan(root)
+    if args.workload in ("dcgan64k8", "all"):
+        run_dcgan64_multistep(root)
     if args.workload in ("resnet", "all"):
         run_resnet(root)
     if args.workload in ("resnet-unfrozen", "all"):
