@@ -63,50 +63,65 @@ def main():
         d_model, d_tx, k, jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3)),
         train=False))
 
-    step = make_dcgan_step(g_model, d_model, g_tx, d_tx, latent_dim=LATENT,
-                           dtype=dtype,
-                           batch_sharding=mesh_ctx.batch_sharding(4),
-                           steps_per_call=STEPS_PER_CALL)
     images = mesh_ctx.replicate(jnp.asarray(
         np.random.default_rng(0).integers(
             0, 255, (4096, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8)))
-    rng = np.random.default_rng(1)
     base_key = jax.random.key(2)
 
-    def run(chunk_i):
-        # distinct rows per scanned step (identical rows would let XLA
-        # hoist the gather out of the scan)
-        idx_chunk = jnp.asarray(
-            rng.integers(0, 4096, (STEPS_PER_CALL, batch), np.int64)
-            .astype(np.int32))
-        return step(g_state, d_state, images, idx_chunk,
-                    jnp.int32(chunk_i * STEPS_PER_CALL), base_key)
+    def measure(k):
+        """Chain-slope timing of the steps_per_call=k program.
 
-    # Chain-slope timing with a device_get (true host sync) at the end of
-    # each chain: dependent steps cannot be deduplicated or reordered, and
-    # the slope between two chain lengths cancels the remote tunnel's
-    # large, variable dispatch/sync overhead. (block_until_ready is NOT a
-    # reliable sync on this remote backend — see CLAUDE.md.) Chains are
-    # counted in K-step chunks; the slope divides back to per-step.
-    def chain(n_chunks, base):
-        nonlocal g_state, d_state
-        metrics = None
-        t0 = time.time()
-        for c in range(n_chunks):
-            g_state, d_state, metrics = run(base + c)
-        np.asarray(jax.device_get(metrics))
-        return time.time() - t0
+        A device_get (true host sync) ends each chain: dependent steps
+        cannot be deduplicated or reordered, and the slope between two
+        chain lengths cancels the remote tunnel's large, variable
+        dispatch/sync overhead. (block_until_ready is NOT a reliable
+        sync on this remote backend — see CLAUDE.md.) Chains are counted
+        in k-step chunks; the slope divides back to per-step."""
+        step = make_dcgan_step(g_model, d_model, g_tx, d_tx,
+                               latent_dim=LATENT, dtype=dtype,
+                               batch_sharding=mesh_ctx.batch_sharding(4),
+                               donate=False, steps_per_call=k)
+        rng = np.random.default_rng(1)
+        st = {"g": g_state, "d": d_state}
 
-    chain(WARMUP, 0)  # compile + warm
-    n_short, n_long = 2, 2 + ITERS // 2
-    slopes = []
-    for rep in range(3):  # median of 3 estimates: the tunnel is noisy
-        t_short = chain(n_short, 100 + 1000 * rep)
-        t_long = chain(n_long, 200 + 1000 * rep)
-        slopes.append(max((t_long - t_short) / (n_long - n_short)
-                          / STEPS_PER_CALL, 1e-9))
-    slopes.sort()
-    dt = slopes[1]
+        def run(chunk_i):
+            # distinct rows per scanned step (identical rows would let
+            # XLA hoist the gather out of the scan)
+            idx = jnp.asarray(rng.integers(0, 4096, (k, batch), np.int64)
+                              .astype(np.int32))
+            if k > 1:
+                return step(st["g"], st["d"], images, idx,
+                            jnp.int32(chunk_i * k), base_key)
+            return step(st["g"], st["d"], images, idx[0],
+                        jax.random.fold_in(base_key, chunk_i))
+
+        def chain(n_chunks, base):
+            metrics = None
+            t0 = time.time()
+            for c in range(n_chunks):
+                st["g"], st["d"], metrics = run(base + c)
+            np.asarray(jax.device_get(metrics))
+            return time.time() - t0
+
+        chain(WARMUP, 0)  # compile + warm
+        n_short = 2 if k > 1 else 5
+        n_long = n_short + max(ITERS // k, 5) * 2
+        slopes = []
+        for rep in range(3):  # median of 3: the tunnel is noisy
+            t_short = chain(n_short, 100 + 1000 * rep)
+            t_long = chain(n_long, 200 + 1000 * rep)
+            slopes.append(max((t_long - t_short) / (n_long - n_short) / k,
+                              1e-9))
+        slopes.sort()
+        return slopes[1]
+
+    try:
+        dt = measure(STEPS_PER_CALL)
+    except Exception as e:  # driver artifact must never be empty
+        print(f"note: steps_per_call={STEPS_PER_CALL} bench failed "
+              f"({type(e).__name__}: {e}); falling back to single-step",
+              file=sys.stderr)
+        dt = measure(1)
     imgs_per_sec = batch / dt
 
     baseline = FALLBACK_BASELINE_IMGS_PER_SEC
