@@ -208,3 +208,23 @@ def test_classifier_single_run(fake_dataset, tmp_path):
     data = json.loads(fm.read_text())
     assert set(data.keys()) == {"config", "metrics"}
     assert data["config"]["k_folds"] == 1
+
+
+def test_mix_batch_synth_pool_draws_only_pool_rows():
+    """pooled empty-synthetic fallback: with synth_pool set, every
+    synthetic draw must resolve to a pool row of the aliased real store
+    (zero-copy reference fallback, mixer.mix_batch)."""
+    import jax
+    from xgan.data.mixer import mix_batch
+    n = 16
+    real = (jnp.arange(n, dtype=jnp.uint8)[:, None, None, None]
+            * jnp.ones((1, 4, 4, 3), jnp.uint8))
+    labels = jnp.zeros((n,), jnp.int32).at[jnp.asarray([5, 7])].set(1)
+    pool = jnp.asarray([5, 7], jnp.int32)
+    idx = jnp.arange(8, dtype=jnp.int32)
+    imgs, labs = mix_batch(real, labels, idx, real, labels,
+                           jnp.float32(1.0), jax.random.key(0),
+                           synth_pool=pool)
+    rows = set(np.asarray(imgs[:, 0, 0, 0]).tolist())
+    assert rows <= {5, 7}
+    assert np.all(np.asarray(labs) == 1)

@@ -204,3 +204,40 @@ def test_parallel_cv_end_to_end(fake_dataset, tmp_path, strategy):
                                   "val_loss", "val_acc", "synthetic_ratio"]
         assert (tmp_path / "models" /
                 f"fold_{fold}_{strategy}_resnet50.msgpack").exists()
+
+
+def test_parallel_cv_empty_synthetic_fallback(fake_dataset, tmp_path):
+    """--parallel-folds with an existing-but-empty synthetic dir must use
+    the same reference fallback as the sequential path: curriculum draws
+    substitute random real positives from each fold's OWN train split
+    (per-fold pools, classifier.make_train_step pooled_synth), and
+    augmented concatenates nothing — never the 1-image dummy store."""
+    from xgan.train.classifier_loop import train_classifier
+    empty = tmp_path / "empty_synth"
+    empty.mkdir()
+
+    def mk(sub, **over):
+        base = dict(
+            data_dir=fake_dataset["data_dir"], synthetic_dir=str(empty),
+            model_dir=str(tmp_path / sub / "models"),
+            output_dir=str(tmp_path / sub / "results"),
+            results_dir=str(tmp_path / sub / "results/metrics"),
+            figures_dir=str(tmp_path / sub / "results/figures"),
+            epochs=1, batch_size=8, lr=1e-3, unfreeze=False, k_folds=2,
+            workers=0, use_synthetic=True, use_curriculum=False,
+            curriculum_schedule="0:1.0", pretrained_path="",
+            parallel_folds=True, image_size=32, seed=0,
+            compute_dtype="f32", cache_dir=str(tmp_path / sub / "cache"),
+            limit_batches=2, trace_dir="", cpu=True,
+            resnet_stages=(1, 1, 1, 1))
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    # curriculum at ratio 1.0: every drawn sample is a substituted real
+    # positive -> training still completes and yields a valid summary
+    summary = train_classifier(mk("cur", use_curriculum=True))
+    assert summary is not None and len(summary["folds"]) == 2
+
+    # augmented: concat adds nothing; behaves like baseline over real rows
+    summary = train_classifier(mk("aug"))
+    assert summary is not None and len(summary["folds"]) == 2

@@ -45,8 +45,12 @@ def timeit(fn, *args, iters=20, warmup=3):
         t_short = chain(n_short)
         t_long = chain(n_long)
         slopes.append((t_long - t_short) / (n_long - n_short))
-    good = sorted(s for s in slopes if s > 0) or [1e-9]
-    return good[len(good) // 2]
+    good = sorted(s for s in slopes if s > 0)
+    if not good:
+        return 1e-9
+    # median of the positive slopes; with exactly two left (one negative
+    # variance artifact), average them rather than picking an extreme
+    return good[1] if len(good) == 3 else sum(good) / len(good)
 
 
 def bench_dcgan(mesh_ctx, dtype, size, batch, steps_per_call=1):

@@ -27,34 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from tools.scan_timing import bench_op  # noqa: F401  (shared discipline)
 from xgan.ops.conv import conv2d, conv_transpose2d, conv_transpose2d_phase
 
-K = 16  # scan length per call
-
-
-def bench_op(op, x, w, iters=6, reps=3):
-    """Per-op seconds: chained lax.scan(K) calls, median-of-reps slope."""
-    def body(c, _):
-        y = op(c, w)
-        bump = (jnp.sum(y.astype(jnp.float32)) * 1e-30).astype(c.dtype)
-        return c + bump, ()
-
-    f = jax.jit(lambda x0: lax.scan(body, x0, None, length=K)[0])
-
-    def chain(x0, n):
-        t0 = time.time()
-        for _ in range(n):
-            x0 = f(x0)
-        np.asarray(jax.device_get(jnp.sum(x0.astype(jnp.float32))))
-        return time.time() - t0, x0
-
-    _, x = chain(x, 1)  # compile + warm
-    slopes = []
-    for _ in range(reps):
-        t1, x = chain(x, 2)
-        t2, x = chain(x, 2 + iters)
-        slopes.append((t2 - t1) / iters)
-    return max(float(np.median(slopes)) / K, 1e-9)
+K = 16  # scan length per call (bench_grad below; bench_op takes k=)
 
 
 def bench_grad(op, x, w, iters=6, reps=3):

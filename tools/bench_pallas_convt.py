@@ -9,43 +9,19 @@ XLA would also fuse, so compare against dilated+affine+relu as well.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from xgan.ops.conv import conv_transpose2d, conv_transpose2d_phase
 from xgan.ops.pallas.convt import convt4x4s2_fused
 
-K = 16
 
 
-def bench_op(op, x, w, iters=6, reps=3):
-    def body(c, _):
-        y = op(c, w)
-        bump = (jnp.sum(y.astype(jnp.float32)) * 1e-30).astype(c.dtype)
-        return c + bump, ()
-
-    f = jax.jit(lambda x0: lax.scan(body, x0, None, length=K)[0])
-
-    def chain(x0, n):
-        t0 = time.time()
-        for _ in range(n):
-            x0 = f(x0)
-        np.asarray(jax.device_get(jnp.sum(x0.astype(jnp.float32))))
-        return time.time() - t0, x0
-
-    _, x = chain(x, 1)
-    slopes = []
-    for _ in range(reps):
-        t1, x = chain(x, 2)
-        t2, x = chain(x, 2 + iters)
-        slopes.append((t2 - t1) / iters)
-    return max(float(np.median(slopes)) / K, 1e-9)
+from tools.scan_timing import bench_op  # noqa: E402  (shared discipline)
 
 
 def main():

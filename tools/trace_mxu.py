@@ -30,6 +30,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_XSPACE_CACHE = {}
+
+
+def _load_xspace(path):
+    """Deserialize an xplane.pb once per path (analyze() reads both the
+    'XLA Ops' and 'Async XLA Ops' lines of the same trace)."""
+    if path not in _XSPACE_CACHE:
+        with open(path, "rb") as f:
+            _XSPACE_CACHE[path] = (
+                jax.profiler.ProfileData.from_serialized_xspace(f.read()))
+    return _XSPACE_CACHE[path]
+
+
 def _device_plane_events(trace_dir, which="XLA Ops"):
     """Yield (op_name, dur_ns) from the device plane's serialized-op
     line in the newest xplane.pb under trace_dir.
@@ -44,8 +57,7 @@ def _device_plane_events(trace_dir, which="XLA Ops"):
         trace_dir, "**", "*.xplane.pb"), recursive=True))
     if not paths:
         raise SystemExit(f"no xplane.pb under {trace_dir}")
-    with open(paths[-1], "rb") as f:
-        data = jax.profiler.ProfileData.from_serialized_xspace(f.read())
+    data = _load_xspace(paths[-1])
     for plane in data.planes:
         if not plane.name.startswith("/device:"):
             continue

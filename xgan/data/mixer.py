@@ -23,6 +23,7 @@ def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
               real_idx: jnp.ndarray,
               synth_images_u8: jnp.ndarray, synth_labels: jnp.ndarray,
               ratio: jnp.ndarray, key, *,
+              synth_pool: jnp.ndarray | None = None,
               use_pallas: bool = False,
               sharding=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns a mixed uint8 batch and its labels.
@@ -30,6 +31,11 @@ def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
     real_images_u8: (N_r, S, S, 3) store; real_idx: (B,) this batch's rows.
     synth_images_u8: (N_s, S, S, 3) store (non-empty).
     ratio: scalar in [0,1] — expected synthetic fraction.
+    synth_pool: optional (P,) int32 row pool — the synthetic draw picks
+    uniformly from the pool and the pool VALUE indexes the synthetic
+    store. Used for the reference's empty-synthetic fallback
+    (data_loader.py:527-536): the store aliases the real store and the
+    pool is the split's positive rows, so no image copies are made.
     use_pallas: single-DMA-per-sample gather kernel (TPU path; the XLA
     path does two gathers + select). With ``sharding`` (the batch
     NamedSharding) it is shard_mapped over the data axis for SPMD.
@@ -37,8 +43,11 @@ def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
     k_mask, k_pick = jax.random.split(key)
     b = real_idx.shape[0]
     use_synth = jax.random.uniform(k_mask, (b,)) < ratio
-    synth_idx = jax.random.randint(k_pick, (b,), 0,
-                                   synth_images_u8.shape[0])
+    n_pool = (synth_pool.shape[0] if synth_pool is not None
+              else synth_images_u8.shape[0])
+    synth_idx = jax.random.randint(k_pick, (b,), 0, n_pool)
+    if synth_pool is not None:
+        synth_idx = jnp.take(synth_pool, synth_idx, axis=0)
 
     if use_pallas:
         from xgan.ops.pallas.gather import mixed_gather_spmd

@@ -73,7 +73,7 @@ def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
 
 def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
                     batch_sharding=None, use_pallas_gather: bool = False,
-                    jit_compile: bool = True):
+                    jit_compile: bool = True, pooled_synth: bool = False):
     """mode: 'real' | 'concat' | 'mix'.
 
     step(state, real_u8, real_labels, synth_u8, synth_labels, idx, ratio,
@@ -84,9 +84,14 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
     axis of ``batch_sharding`` — each device gathers its local rows).
     ``jit_compile=False`` returns the raw traceable function (for the
     parallel-folds vmap wrapper).
+    ``pooled_synth`` (mix mode): the step takes an extra ``synth_pool``
+    (P,) int32 argument after ``synth_labels``; synthetic draws pick
+    from the pool, whose VALUES index the synthetic store. This is the
+    reference's empty-synthetic-dir fallback (data_loader.py:527-536)
+    with the store aliased to the real store — no image copies.
     """
-    def assemble(real_u8, real_labels, synth_u8, synth_labels, idx,
-                 ratio, key):
+    def assemble(real_u8, real_labels, synth_u8, synth_labels, synth_pool,
+                 idx, ratio, key):
         if mode == "real":
             imgs = jnp.take(real_u8, idx, axis=0)
             labels = jnp.take(real_labels, idx, axis=0)
@@ -98,6 +103,7 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
         elif mode == "mix":
             imgs, labels = mix_batch(real_u8, real_labels, idx, synth_u8,
                                      synth_labels, ratio, key,
+                                     synth_pool=synth_pool,
                                      use_pallas=use_pallas_gather,
                                      sharding=batch_sharding)
         else:
@@ -105,10 +111,16 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
         return imgs, labels
 
     def step(state: ModelState, real_u8, real_labels, synth_u8,
-             synth_labels, idx, ratio, key):
+             synth_labels, *rest):
+        if pooled_synth:
+            synth_pool, idx, ratio, key = rest
+        else:
+            synth_pool = None
+            idx, ratio, key = rest
         k_mix, k_flip = jax.random.split(key)
         imgs_u8, labels = assemble(real_u8, real_labels, synth_u8,
-                                   synth_labels, idx, ratio, k_mix)
+                                   synth_labels, synth_pool, idx, ratio,
+                                   k_mix)
         if batch_sharding is not None:
             imgs_u8 = jax.lax.with_sharding_constraint(imgs_u8,
                                                        batch_sharding)

@@ -80,15 +80,19 @@ def _init_resnet(args, dtype, rng):
 
 
 def _epoch_pass(step_fn, state, device_stores, batches, ratio, key,
-                n_samples):
+                n_samples, synth_pool=None):
     """Run one train phase; returns (state, loss, acc) with the wrap-around
-    padding rows dropped (flattened[:n] is exactly the epoch permutation)."""
+    padding rows dropped (flattened[:n] is exactly the epoch permutation).
+    ``synth_pool`` is forwarded when the step was built with
+    ``pooled_synth=True`` (empty-synthetic fallback)."""
     losses_acc, preds_acc, labels_acc = [], [], []
     real, synth = device_stores
+    extra = () if synth_pool is None else (synth_pool,)
     for i in range(batches.shape[0]):
         state, losses, preds, labels = step_fn(
             state, real.images, real.labels, synth.images, synth.labels,
-            jnp.asarray(batches[i]), ratio, jax.random.fold_in(key, i))
+            *extra, jnp.asarray(batches[i]), ratio,
+            jax.random.fold_in(key, i))
         losses_acc.append(losses)
         preds_acc.append(preds)
         labels_acc.append(labels)
@@ -146,8 +150,25 @@ def evaluate_model(eval_fn, variables, store: DeviceStore, batch_size,
     return metrics
 
 
+def fallback_pool(real_dev, train_indices):
+    """The reference PhasedAugmentedDataset empty-synthetic fallback
+    (data_loader.py:527-536): a synthetic draw substitutes a random real
+    POSITIVE from the run's train split (any real row if the split has
+    no positives), with its own label. Returns the (P,) int32 row pool
+    into the REAL store — the mixer draws through it with zero image
+    copies (mix_batch synth_pool)."""
+    tr = np.asarray(train_indices, np.int64)
+    pos = tr[real_dev.labels_host[tr] == 1]
+    pool = pos if pos.size else tr
+    print("Curriculum fallback: substituting random real "
+          f"{'positives' if pos.size else 'samples'} for the empty "
+          "synthetic store.")
+    return jnp.asarray(pool.astype(np.int32))
+
+
 def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
-                  *, fold, strategy, schedule, seed_offset=0):
+                  *, fold, strategy, schedule, seed_offset=0,
+                  synth_fallback=False):
     """Train one model (one fold or the single run).
 
     val_spec: (DeviceStore, indices or None) evaluated with eval transforms.
@@ -157,23 +178,10 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
     mode = {"baseline": "real", "augmented": "concat",
             "curriculum": "mix"}[strategy]
 
-    synth_fallback = getattr(args, "_synth_fallback", False)
+    synth_pool = None
     if mode == "mix" and synth_fallback:
-        # Reference PhasedAugmentedDataset empty-synthetic fallback
-        # (data_loader.py:527-536): a synthetic draw substitutes a random
-        # real POSITIVE from this run's train split (any real row if the
-        # split has no positives), with its own label. Expressed here as
-        # a fallback "synthetic" store gathered from the real store.
-        import types
-        tr = np.asarray(train_indices, np.int64)
-        pos = tr[real_dev.labels_host[tr] == 1]
-        fb = jnp.asarray(pos if pos.size else tr)
-        print("Curriculum fallback: substituting random real "
-              f"{'positives' if pos.size else 'samples'} for the empty "
-              "synthetic store.")
-        synth_dev = types.SimpleNamespace(
-            images=jnp.take(real_dev.images, fb, axis=0),
-            labels=jnp.take(real_dev.labels, fb, axis=0))
+        synth_pool = fallback_pool(real_dev, train_indices)
+        synth_dev = real_dev  # alias: pool values index the real store
 
     rng = jax.random.key(args.seed + seed_offset)
     k_init, k_train = jax.random.split(rng)
@@ -190,7 +198,8 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
     use_pallas = jax.default_backend() == "tpu" and mode != "real"
     train_step = make_train_step(model, tx, mode=mode, dtype=dtype,
                                  batch_sharding=bsh,
-                                 use_pallas_gather=use_pallas)
+                                 use_pallas_gather=use_pallas,
+                                 pooled_synth=synth_pool is not None)
     eval_step = make_eval_step(model, dtype=dtype, batch_sharding=bsh)
 
     batch_size = mesh_ctx.pad_batch(args.batch_size)
@@ -236,7 +245,8 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
         n_seen = min(len(epoch_space), batches.size)
         state, tr_loss, tr_acc = _epoch_pass(
             train_step, state, (real_dev, synth_dev), batches,
-            jnp.float32(ratio), jax.random.fold_in(k_train, epoch), n_seen)
+            jnp.float32(ratio), jax.random.fold_in(k_train, epoch), n_seen,
+            synth_pool=synth_pool)
         history["train_loss"].append(tr_loss)
         history["train_acc"].append(tr_acc)
 
@@ -372,13 +382,12 @@ def train_classifier(args):
             images=np.zeros((1, args.image_size, args.image_size, 3),
                             np.uint8),
             labels=np.ones((1,), np.int32), size=args.image_size)
-    args._synth_fallback = synth_fallback
 
     mesh_ctx = create_mesh()
     dtype = resolve_dtype(args.compute_dtype)
     print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
           f"{dtype.__name__}; strategy {strategy}; k_folds {args.k_folds}")
-    if getattr(args, "steps_per_call", 1) and args.steps_per_call > 1:
+    if (getattr(args, "steps_per_call", 1) or 1) > 1:
         # Measured: the 224px classifier step (~13 ms) fully hides
         # dispatch, so multi-step scan buys ~nothing here (BENCH_DETAIL
         # multistep_dispatch_ab); the flag is a GAN-trainer optimization.
@@ -402,7 +411,8 @@ def train_classifier(args):
         splits = list(kf.split(range(len(train_store))))
         best_vars, fold_histories = run_parallel_cv(
             args, mesh_ctx, dtype, stores, splits, strategy=strategy,
-            schedule=schedule, init_resnet=_init_resnet)
+            schedule=schedule, init_resnet=_init_resnet,
+            synth_fallback=synth_fallback)
         fold_metrics = []
         for fold, bv in enumerate(best_vars):
             print(f"--- Evaluating Fold {fold + 1} Model on Test Set ---")
@@ -436,7 +446,8 @@ def train_classifier(args):
                 best_vars, history = train_one_run(
                     args, mesh_ctx, dtype, stores, tr_idx,
                     (real_dev, val_idx), fold=fold + 1, strategy=strategy,
-                    schedule=schedule, seed_offset=fold)
+                    schedule=schedule, seed_offset=fold,
+                    synth_fallback=synth_fallback)
             fold_histories.append(history)
             print(f"--- Evaluating Fold {fold + 1} Model on Test Set ---")
             metrics = evaluate_model(eval_step, best_vars, test_dev,
@@ -458,7 +469,8 @@ def train_classifier(args):
     print("Warning: using test set as validation for non-CV run.")
     best_vars, history = train_one_run(
         args, mesh_ctx, dtype, stores, np.arange(len(train_store)),
-        (test_dev, None), fold=None, strategy=strategy, schedule=schedule)
+        (test_dev, None), fold=None, strategy=strategy, schedule=schedule,
+        synth_fallback=synth_fallback)
     metrics = evaluate_model(eval_step, best_vars, test_dev, batch_size)
     write_json(os.path.join(args.results_dir,
                             f"{run_prefix}final_metrics.json"),

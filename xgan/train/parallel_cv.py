@@ -37,14 +37,34 @@ def _fold_metrics(acc_list, n_valid):
 
 
 def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
-                    schedule, init_resnet):
+                    schedule, init_resnet, synth_fallback=False):
     """splits: list of (train_idx, val_idx) per fold. Returns
-    (best_vars_per_fold, histories)."""
+    (best_vars_per_fold, histories).
+
+    ``synth_fallback``: the synthetic dir exists but is empty — same
+    reference semantics as the sequential path (classifier_loop): the
+    curriculum mixer substitutes random real positives from each fold's
+    OWN train split (per-fold pools, no cross-fold/val leakage), and the
+    augmented concat adds nothing."""
     real_dev, synth_dev, _ = stores
     k = len(splits)
     mode = {"baseline": "real", "augmented": "concat",
             "curriculum": "mix"}[strategy]
     n_real = len(real_dev)
+
+    synth_pools = None
+    if synth_fallback and mode == "mix":
+        from xgan.train.classifier_loop import fallback_pool
+        pools = [np.asarray(fallback_pool(real_dev, tr), np.int64)
+                 for tr, _ in splits]
+        # wrap-pad to a common length so pools stack on the fold axis
+        # (KFold split sizes differ by <=1; the duplicated row's draw
+        # weight skews by O(1/P) — negligible against the reference's
+        # uniform-with-replacement sampling)
+        m = max(p.size for p in pools)
+        synth_pools = jnp.asarray(
+            np.stack([np.resize(p, m) for p in pools]).astype(np.int32))
+        synth_dev = real_dev  # alias: pool values index the real store
 
     tx = classifier_optimizer(args.lr, freeze_base=not args.unfreeze)
     states, model = [], None
@@ -64,15 +84,18 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
     print(f"Parallel CV mesh: {dict(pmesh.shape)}")
 
     train_step, eval_step = make_parallel_steps(
-        model, tx, mode=mode, n_folds=k, dtype=dtype, pmesh=pmesh)
+        model, tx, mode=mode, n_folds=k, dtype=dtype, pmesh=pmesh,
+        pooled_synth=synth_pools is not None)
 
     batch_size = mesh_ctx.pad_batch(args.batch_size)
-    if strategy == "augmented":
+    if strategy == "augmented" and not synth_fallback:
         train_spaces = [np.concatenate([
             np.asarray(tr, np.int64),
             n_real + np.arange(len(synth_dev), dtype=np.int64)])
             for tr, _ in splits]
     else:
+        # empty synthetic store concatenates nothing
+        # (reference data_loader.py:575 with a 0-length SyntheticDataset)
         train_spaces = [np.asarray(tr, np.int64) for tr, _ in splits]
     val_spaces = [np.asarray(va, np.int64) for _, va in splits]
 
@@ -104,9 +127,10 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
             keys = jax.random.split(
                 jax.random.fold_in(k_train, step_counter), k)
             step_counter += 1
+            pool_arg = () if synth_pools is None else (synth_pools,)
             stacked, losses, preds, labels = train_step(
                 stacked, real_dev.images, real_dev.labels,
-                synth_dev.images, synth_dev.labels,
+                synth_dev.images, synth_dev.labels, *pool_arg,
                 jnp.asarray(batches[i]), jnp.float32(ratio), keys)
             loss_acc.append(losses)
             pred_acc.append(preds)
@@ -162,13 +186,13 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
                 # torchvision-format twin (reference
                 # train_classifier.py:182 writes the same name per fold)
                 from xgan.models.pretrained import save_torch_resnet50
+                from xgan.train.classifier_loop import _resnet_stages
                 save_torch_resnet50(
                     os.path.join(
                         args.model_dir,
                         f"fold_{f + 1}_{strategy}_resnet50.pth"),
                     best_vars[f]["params"], best_vars[f]["batch_stats"],
-                    stage_sizes=tuple(
-                        getattr(args, "resnet_stages", ()) or (3, 4, 6, 3)))
+                    stage_sizes=_resnet_stages(args))
 
         mean_val = float(np.mean([h["val_acc"][-1] for h in histories]))
         print(f"Epoch {epoch + 1}/{args.epochs} [parallel {k}-fold "

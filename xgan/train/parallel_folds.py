@@ -60,7 +60,7 @@ def unstack_state(stacked: ModelState, fold: int):
 
 def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
                         dtype=jnp.float32, fold_sharding=None,
-                        pmesh=None):
+                        pmesh=None, pooled_synth: bool = False):
     """Returns (train_step, eval_step) vmapped over the fold axis.
 
     train_step(stacked_state, real_u8, real_labels, synth_u8, synth_labels,
@@ -71,6 +71,10 @@ def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
 
     Stores are shared (not vmapped); ratio is shared (the curriculum
     schedule is the same for every fold, train_classifier.py:126-128).
+    ``pooled_synth`` (mix mode, empty-synthetic fallback): train_step
+    takes an extra per-fold ``synth_pools (k, P)`` int32 argument after
+    ``synth_labels`` — each fold's synthetic draws pick from its own
+    pool of real rows (see classifier.make_train_step).
 
     ``pmesh`` (a :func:`fold_mesh`) picks the layout: with >1 fold shard,
     the whole step runs under ``jax.shard_map`` MANUAL over the "fold"
@@ -88,31 +92,37 @@ def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     raw_train = make_train_step(model, tx, mode=mode, dtype=dtype,
-                                batch_sharding=None, jit_compile=False)
+                                batch_sharding=None, jit_compile=False,
+                                pooled_synth=pooled_synth)
     raw_eval = make_eval_step(model, dtype=dtype, batch_sharding=None,
                               jit_compile=False)
 
-    vtrain = jax.vmap(raw_train,
-                      in_axes=(0, None, None, None, None, 0, None, 0))
+    # pooled variant inserts the per-fold (k, P) pool after synth_labels
+    train_axes = ((0, None, None, None, None, 0, 0, None, 0)
+                  if pooled_synth else
+                  (0, None, None, None, None, 0, None, 0))
+    vtrain = jax.vmap(raw_train, in_axes=train_axes)
     veval = jax.vmap(raw_eval, in_axes=(0, None, 0, None))
 
     if pmesh is not None and pmesh.shape["fold"] > 1:
         data_sh = NamedSharding(pmesh, P(None, "data"))
 
         def train_body(stacked, real_u8, real_labels, synth_u8,
-                       synth_labels, idx, ratio, keys):
+                       synth_labels, *rest):
+            idx, ratio, keys = rest[-3:]
             idx = jax.lax.with_sharding_constraint(idx, data_sh)
             return vtrain(stacked, real_u8, real_labels, synth_u8,
-                          synth_labels, idx, ratio, keys)
+                          synth_labels, *rest[:-3], idx, ratio, keys)
 
         def eval_body(stacked_vars, images_u8, idx, labels_all):
             idx = jax.lax.with_sharding_constraint(idx, data_sh)
             return veval(stacked_vars, images_u8, idx, labels_all)
 
+        pool_specs = (P("fold"),) if pooled_synth else ()
         train_step = jax.shard_map(
             train_body, mesh=pmesh,
-            in_specs=(P("fold"), P(), P(), P(), P(), P("fold"), P(),
-                      P("fold")),
+            in_specs=(P("fold"), P(), P(), P(), P()) + pool_specs
+                     + (P("fold"), P(), P("fold")),
             out_specs=(P("fold"), P("fold"), P("fold"), P("fold")),
             axis_names={"fold"}, check_vma=False)
         eval_step = jax.shard_map(
@@ -127,11 +137,12 @@ def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
         fold_sharding = NamedSharding(pmesh, P(None, "data"))
 
     def train_step(stacked, real_u8, real_labels, synth_u8, synth_labels,
-                   idx, ratio, keys):
+                   *rest):
+        idx, ratio, keys = rest[-3:]
         if fold_sharding is not None:
             idx = jax.lax.with_sharding_constraint(idx, fold_sharding)
         return vtrain(stacked, real_u8, real_labels, synth_u8,
-                      synth_labels, idx, ratio, keys)
+                      synth_labels, *rest[:-3], idx, ratio, keys)
 
     def eval_step(stacked_vars, images_u8, idx, labels_all):
         if fold_sharding is not None:
