@@ -323,6 +323,64 @@ def run_dcgan64_multistep(trace_root, chunks=3, k=8):
                    hlo_text=hlo)
 
 
+def run_cgan(trace_root, steps=6):
+    """CGAN 224px b32 (reference config): G upsample-conv ladder +
+    projection D + VGG16 perceptual + feature matching, one fused step.
+    FLOPs come from the compiled program's own cost_analysis() (no
+    hand model for the VGG/FM multiplicities in tools/roofline.py)."""
+    from xgan.models import cgan
+    from xgan.models.vgg import VGG16Features
+    from xgan.parallel import create_mesh
+    from xgan.train.cgan import make_cgan_step
+    from xgan.train.common import adam, create_state
+    mesh_ctx = create_mesh()
+    dtype = jnp.bfloat16
+    size, batch = 224, 32
+    g_model = cgan.Generator(latent_dim=100, feature_maps=32,
+                             image_size=size, dtype=dtype)
+    d_model = cgan.Discriminator(feature_maps=32, image_size=size,
+                                 dtype=dtype)
+    vgg = VGG16Features(dtype=dtype)
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    key = jax.random.key(0)
+    lab = jnp.zeros((2,), jnp.int32)
+    holder = {
+        "g": mesh_ctx.replicate(create_state(
+            g_model, g_tx, key, jnp.zeros((2, 100)), lab, train=False)),
+        "d": mesh_ctx.replicate(create_state(
+            d_model, d_tx, key, jnp.zeros((2, size, size, 3)), lab,
+            train=False)),
+    }
+    vgg_params = mesh_ctx.replicate(
+        vgg.init(key, jnp.zeros((1, size, size, 3)))["params"])
+    step = make_cgan_step(g_model, d_model, vgg, g_tx, d_tx,
+                          latent_dim=100, dtype=dtype,
+                          batch_sharding=mesh_ctx.batch_sharding(4),
+                          donate=False)
+    images = mesh_ctx.replicate(jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (256, size, size, 3),
+                                          np.uint8)))
+    labels = mesh_ctx.replicate(jnp.asarray(
+        (np.arange(256) % 2).astype(np.int32)))
+    idx = jnp.arange(batch, dtype=jnp.int32)
+
+    def run(i):
+        holder["g"], holder["d"], metrics = step(
+            holder["g"], holder["d"], vgg_params, images, labels, idx,
+            jnp.int32(0), jax.random.fold_in(jax.random.key(1), i))
+        return metrics
+
+    d = os.path.join(trace_root, "cgan224")
+    _traced_run(run, d, steps)
+    compiled = step.lower(holder["g"], holder["d"], vgg_params, images,
+                          labels, idx, jnp.int32(0),
+                          jax.random.key(1)).compile()
+    hlo = compiled.as_text()
+    ca = compiled.cost_analysis() or {}
+    flops = float(ca.get("flops", 0.0)) or None
+    return analyze(d, "cgan_train_224px_b32", steps, flops, hlo_text=hlo)
+
+
 def run_resnet(trace_root, steps=8, frozen=True):
     from xgan.models.resnet import ResNet50
     from xgan.parallel import create_mesh
@@ -370,7 +428,7 @@ def run_resnet(trace_root, steps=8, frozen=True):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workload", default="all",
-                   choices=["dcgan", "dcgan64k8", "resnet",
+                   choices=["dcgan", "dcgan64k8", "cgan", "resnet",
                             "resnet-unfrozen", "wgan", "all"])
     p.add_argument("--trace-root", default=None)
     args = p.parse_args()
@@ -380,6 +438,8 @@ def main():
         run_dcgan(root)
     if args.workload in ("dcgan64k8", "all"):
         run_dcgan64_multistep(root)
+    if args.workload in ("cgan", "all"):
+        run_cgan(root)
     if args.workload in ("resnet", "all"):
         run_resnet(root)
     if args.workload in ("resnet-unfrozen", "all"):
