@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from xgan.ops.conv import conv2d
@@ -30,10 +31,14 @@ class VGG16Features(nn.Module):
             w = self.param(f"{name}_kernel", nn.initializers.he_normal(),
                            (3, 3, x.shape[-1], features))
             b = self.param(f"{name}_bias", nn.initializers.zeros, (features,))
-            y = conv2d(x.astype(self.dtype), w.astype(self.dtype),
-                       stride=1, padding=1,
-                       preferred_dtype=jnp.float32).astype(self.dtype)
-            return nn.relu(y + b.astype(self.dtype))
+            # named scope: gives the conv HLO op_name metadata so profiler
+            # traces attribute VGG time per layer (tools/trace_mxu.py);
+            # param names/values are unaffected.
+            with jax.named_scope(f"VGG16/{name}"):
+                y = conv2d(x.astype(self.dtype), w.astype(self.dtype),
+                           stride=1, padding=1,
+                           preferred_dtype=jnp.float32).astype(self.dtype)
+                return nn.relu(y + b.astype(self.dtype))
 
         def pool(x):
             return nn.max_pool(x, (2, 2), strides=(2, 2))
