@@ -336,6 +336,9 @@ def main():
         ("dcgan_train_64px_b128_k8",
          "DCGAN 64px batch 128, --steps-per-call 8",
          lambda: bench_dcgan(mesh_ctx, dtype, 64, 128, steps_per_call=8)),
+        ("dcgan_train_64px_b256_k8",
+         "DCGAN 64px batch 256, --steps-per-call 8 (scaling headroom)",
+         lambda: bench_dcgan(mesh_ctx, dtype, 64, 256, steps_per_call=8)),
         ("dcgan_train_224px_b128", "DCGAN 224px batch 128 (reference)",
          lambda: bench_dcgan(mesh_ctx, dtype, 224, 128)),
         ("wgan_gp_train_224px_b64", "WGAN-GP 224px batch 64, 5 critic iters",

@@ -115,10 +115,12 @@ def main():
     # DCGAN iteration = G fwd + G bwd(2x) + D: real fwd+bwd, fake fwd+bwd,
     # G-step fwd + input-bwd  (train_gan.py loop structure)
     for size, key in [(64, "dcgan_train_64px_b128"),
+                      (64, "dcgan_train_64px_b128_k8"),
+                      (64, "dcgan_train_64px_b256_k8"),
                       (224, "dcgan_train_224px_b128")]:
         g, d = dcgan_g_fwd(size), dcgan_d_fwd(size)
         step = 3 * g + (3 + 2 * 2 + 1) * d
-        add(f"DCGAN {size}px train", key, step)
+        add(f"DCGAN {size}px train [{key.split('_', 2)[2]}]", key, step)
 
     # WGAN-GP iteration = n*(G fwd + D: 2 fwd+bwd + GP triple pass) + G step
     g, c = wgan_g_fwd(224), wgan_c_fwd(224)
