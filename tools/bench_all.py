@@ -270,7 +270,7 @@ def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
     dt = time.time() - t0
     out.update({"num_images": n, "end_to_end_imgs_per_sec": n / dt,
                 "device_plus_transfer_imgs_per_sec":
-                    stats.get("device_side_imgs_per_sec")})
+                    stats.get("device_plus_transfer_imgs_per_sec")})
     return out
 
 
@@ -303,8 +303,8 @@ import glob
 pngs = len(glob.glob(os.path.join(out, "*.png")))
 print(json.dumps({"n_devices": jax.device_count(),
                   "images_written": pngs,
-                  "device_side_imgs_per_sec":
-                      stats["device_side_imgs_per_sec"],
+                  "device_plus_transfer_imgs_per_sec":
+                      stats["device_plus_transfer_imgs_per_sec"],
                   "ok": pngs == 64}))
 """
     r = subprocess.run([_sys.executable, "-c", script],

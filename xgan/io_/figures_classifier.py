@@ -47,15 +47,23 @@ def _plot_curves(histories: List[Dict], train_key: str, val_key: str,
         print(f"Warning: no data for {title}; skipping plot.")
         plt.close()
         return
-    ep = range(1, len(train_series[0]) + 1)
+
+    def mean_over_common(series):
+        # fold histories can have unequal epoch counts (fold-level resume
+        # of a run whose --epochs changed); average over the common
+        # prefix rather than crashing on a ragged array
+        n = min(len(s) for s in series)
+        return np.mean([s[:n] for s in series], axis=0)
+
+    avg_t = mean_over_common(train_series)
+    ep = range(1, len(avg_t) + 1)
     if ratio_only:
-        plt.plot(ep, np.mean(train_series, axis=0), "b-",
-                 label="Average Ratio", linewidth=2)
+        plt.plot(ep, avg_t, "b-", label="Average Ratio", linewidth=2)
     else:
-        plt.plot(ep, np.mean(train_series, axis=0), "b-",
-                 label="Average Training", linewidth=2)
+        plt.plot(ep, avg_t, "b-", label="Average Training", linewidth=2)
         if val_series:
-            plt.plot(ep, np.mean(val_series, axis=0), color="orange",
+            avg_v = mean_over_common(val_series)
+            plt.plot(range(1, len(avg_v) + 1), avg_v, color="orange",
                      label="Average Validation", linewidth=2)
     plt.title(f"{title} - {run_prefix}" if run_prefix else title)
     plt.xlabel("Epoch")

@@ -34,8 +34,11 @@ from xgan.parallel import create_mesh
 from xgan.train.cgan import make_cgan_step
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
+from xgan.train.loop_common import grid_iters, replay_data_rng, \
+    resume_history
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
+from xgan.utils.timer import maybe_trace
 
 NUM_CLASSES = 2
 
@@ -141,15 +144,9 @@ def train_cgan(args):
         getattr(args, "resume_from", ""),
         {"g": g_state, "d": d_state})
     g_state, d_state = states["g"], states["d"]
-    for _ in range(start_epoch):
-        epoch_batches(len(store), batch_size, data_rng)
+    replay_data_rng(len(store), batch_size, data_rng, start_epoch)
     history_path = os.path.join(metrics_dir, "cgan_training_history.json")
-    if start_epoch and os.path.exists(history_path):
-        import json
-        with open(history_path) as f:
-            prior = json.load(f)
-        if set(prior.keys()) == set(history.keys()):
-            history = prior
+    history = resume_history(history_path, history, start_epoch)
     timer = StepTimer()
     start = time.time()
 
@@ -160,6 +157,12 @@ def train_cgan(args):
             batches = batches[:args.limit_batches]
         num_batches = batches.shape[0]
         epoch_metrics = []
+
+        # Optional XLA profiler capture of the first post-compile epoch.
+        trace_ctx = maybe_trace(
+            args.trace_dir if (getattr(args, "trace_dir", "")
+                               and epoch == start_epoch + 1) else None)
+        trace_ctx.__enter__()
 
         i = 0
         while i < num_batches:
@@ -177,18 +180,17 @@ def train_cgan(args):
                     jnp.int32(epoch), jax.random.fold_in(k_data, iters))
             epoch_metrics.append(metrics)
 
-            for t in range(iters, iters + chunk):
-                if (t % args.save_interval == 0) or (
-                        epoch == args.epochs - 1
-                        and i + (t - iters) == num_batches - 1):
-                    sample_grid(os.path.join(
-                        image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
-                                   f"iter_{t:06d}.png"))
+            for t in grid_iters(iters, chunk, args.save_interval,
+                                epoch == args.epochs - 1, i, num_batches):
+                sample_grid(os.path.join(
+                    image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                               f"iter_{t:06d}.png"))
             iters += chunk
             i += chunk
 
         em = np.asarray(jax.device_get(jnp.concatenate(
             [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
+        trace_ctx.__exit__(None, None, None)
         timer.tick(num_batches)
         history["G_losses_iter"].extend(em[:, 0].tolist())
         history["D_losses_iter"].extend(em[:, 1].tolist())

@@ -147,7 +147,8 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
 
 def make_eval_step(model, *, dtype=jnp.float32, batch_sharding=None,
                    jit_compile: bool = True):
-    """Eval: running-stats BN, no flip. Returns (per-sample loss, preds)."""
+    """Eval: running-stats BN, no flip. Returns (per-sample loss, preds,
+    labels, positive-class probability)."""
     def step(variables, images_u8, idx, labels_all):
         imgs_u8 = jnp.take(images_u8, idx, axis=0)
         labels = jnp.take(labels_all, idx, axis=0)

@@ -43,6 +43,7 @@ from xgan.train.curriculum import (get_current_synthetic_ratio,
                                    parse_curriculum_schedule)
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.utils import check_create_dir
+from xgan.utils.timer import maybe_trace
 
 KFOLD_SEED = 42  # split parity with reference data_loader.py:239
 
@@ -64,7 +65,13 @@ def _init_resnet(args, dtype, rng):
     pretrained = getattr(args, "pretrained_path", "")
     if pretrained:
         from xgan.models.pretrained import load_torch_resnet50
-        loaded_p, loaded_s = load_torch_resnet50(pretrained)
+        # stage_sizes must match the model being initialized — a
+        # checkpoint converted at the default (3,4,6,3) against a
+        # shrunken --resnet-stages model (or vice versa) replaces the
+        # params tree with a mismatched structure and fails much later
+        # with an opaque flax error.
+        loaded_p, loaded_s = load_torch_resnet50(
+            pretrained, stage_sizes=_resnet_stages(args))
         fc = params["fc"]
         params = jax.tree_util.tree_map(jnp.asarray, loaded_p)
         if "fc" not in params:
@@ -119,8 +126,7 @@ def _eval_pass(eval_fn, variables, store: DeviceStore, batches, n_samples):
     return losses, preds, labels, probs
 
 
-def evaluate_model(eval_fn, variables, store: DeviceStore, batch_size,
-                   rng=None):
+def evaluate_model(eval_fn, variables, store: DeviceStore, batch_size):
     """Test-set metrics dict: the reference's keys
     (train_classifier.py:241-247) plus ``auroc`` (the BASELINE.json
     north-star quality metric; extra JSON keys are schema-compatible)."""
@@ -243,10 +249,14 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
         if args.limit_batches:
             batches = batches[:args.limit_batches]
         n_seen = min(len(epoch_space), batches.size)
-        state, tr_loss, tr_acc = _epoch_pass(
-            train_step, state, (real_dev, synth_dev), batches,
-            jnp.float32(ratio), jax.random.fold_in(k_train, epoch), n_seen,
-            synth_pool=synth_pool)
+        # Optional XLA profiler capture of one post-compile train phase
+        # (epoch 1 when there is one, else the only epoch).
+        with maybe_trace(getattr(args, "trace_dir", "") if epoch == min(
+                1, args.epochs - 1) else None):
+            state, tr_loss, tr_acc = _epoch_pass(
+                train_step, state, (real_dev, synth_dev), batches,
+                jnp.float32(ratio), jax.random.fold_in(k_train, epoch),
+                n_seen, synth_pool=synth_pool)
         history["train_loss"].append(tr_loss)
         history["train_acc"].append(tr_acc)
 

@@ -23,6 +23,8 @@ from xgan.models import dcgan
 from xgan.parallel import create_mesh
 from xgan.train.common import adam, create_state
 from xgan.train.gan import make_dcgan_step
+from xgan.train.loop_common import grid_iters, replay_data_rng, \
+    resume_history
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -136,16 +138,8 @@ def train_dcgan(args):
         getattr(args, "resume_from", ""),
         {"g": g_state, "d": d_state})
     g_state, d_state = states["g"], states["d"]
-    # replay the data-order RNG to the resume point and keep the prior
-    # run's history so the final JSON covers every epoch
-    for _ in range(start_epoch):
-        epoch_batches(len(store), batch_size, data_rng)
-    if start_epoch and os.path.exists(history_path):
-        import json
-        with open(history_path) as f:
-            prior = json.load(f)
-        if set(prior.keys()) == set(history.keys()):
-            history = prior
+    replay_data_rng(len(store), batch_size, data_rng, start_epoch)
+    history = resume_history(history_path, history, start_epoch)
 
     timer = StepTimer()
     start_time = time.time()
@@ -181,14 +175,12 @@ def train_dcgan(args):
                     jax.random.fold_in(k_data, iters))
             epoch_metrics.append(metrics)
 
-            for t in range(iters, iters + chunk):
-                if (t % args.save_interval == 0) or (
-                        epoch == args.epochs - 1
-                        and i + (t - iters) == num_batches - 1):
-                    sample_grid(os.path.join(
-                        gan_output_dir,
-                        f"fake_samples_epoch_{epoch + 1:03d}_"
-                        f"iter_{t:06d}.png"))
+            for t in grid_iters(iters, chunk, args.save_interval,
+                                epoch == args.epochs - 1, i, num_batches):
+                sample_grid(os.path.join(
+                    gan_output_dir,
+                    f"fake_samples_epoch_{epoch + 1:03d}_"
+                    f"iter_{t:06d}.png"))
             iters += chunk
             i += chunk
 

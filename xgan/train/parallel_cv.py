@@ -21,6 +21,7 @@ from xgan.io_.metrics import write_json
 from xgan.train.classifier import classifier_optimizer
 from xgan.train.common import ModelState
 from xgan.train.curriculum import get_current_synthetic_ratio
+from xgan.utils.timer import maybe_trace
 from xgan.train.parallel_folds import (fold_epoch_batches, fold_mesh,
                                        make_parallel_steps, stack_states,
                                        unstack_state)
@@ -123,6 +124,11 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
             batches = batches[:args.limit_batches]
             n_valid = np.minimum(n_valid, batches.shape[0] * batch_size)
         loss_acc, pred_acc, lab_acc = [], [], []
+        # Optional XLA profiler capture of one post-compile train phase.
+        trace_ctx = maybe_trace(getattr(args, "trace_dir", "")
+                                if epoch == min(1, args.epochs - 1)
+                                else None)
+        trace_ctx.__enter__()
         for i in range(batches.shape[0]):
             keys = jax.random.split(
                 jax.random.fold_in(k_train, step_counter), k)
@@ -139,6 +145,7 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
         tr_losses = _fold_metrics(loss_acc, n_valid)
         tr_preds = _fold_metrics(pred_acc, n_valid)
         tr_labels = _fold_metrics(lab_acc, n_valid)
+        trace_ctx.__exit__(None, None, None)
 
         # --- validation (all folds in one vmapped pass per batch)
         val_batches, val_valid = fold_epoch_batches(

@@ -21,9 +21,12 @@ from xgan.models import wgan
 from xgan.parallel import create_mesh
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
+from xgan.train.loop_common import grid_iters, replay_data_rng, \
+    resume_history
 from xgan.train.snapshot import SnapshotManager
 from xgan.train.wgan import make_wgan_step
 from xgan.utils import StepTimer, check_create_dir
+from xgan.utils.timer import maybe_trace
 
 
 def train_wgan(args):
@@ -97,15 +100,9 @@ def train_wgan(args):
         getattr(args, "resume_from", ""),
         {"g": g_state, "c": c_state})
     g_state, c_state = states["g"], states["c"]
-    for _ in range(start_epoch):
-        epoch_batches(len(store), batch_size, data_rng)
+    replay_data_rng(len(store), batch_size, data_rng, start_epoch)
     history_path = os.path.join(metrics_dir, "wgan_training_history.json")
-    if start_epoch and os.path.exists(history_path):
-        import json
-        with open(history_path) as f:
-            prior = json.load(f)
-        if set(prior.keys()) == set(history.keys()):
-            history = prior
+    history = resume_history(history_path, history, start_epoch)
     timer = StepTimer()
 
     for epoch in range(start_epoch, args.epochs):
@@ -115,6 +112,12 @@ def train_wgan(args):
             batches = batches[:args.limit_batches]
         num_batches = batches.shape[0]
         d_acc, g_acc = [], []
+
+        # Optional XLA profiler capture of the first post-compile epoch.
+        trace_ctx = maybe_trace(
+            args.trace_dir if (getattr(args, "trace_dir", "")
+                               and epoch == start_epoch + 1) else None)
+        trace_ctx.__enter__()
 
         i = 0
         while i < num_batches:
@@ -133,13 +136,11 @@ def train_wgan(args):
             d_acc.append(d_losses)
             g_acc.append(g_loss)
 
-            for t in range(iters, iters + chunk):
-                if (t % args.save_interval == 0) or (
-                        epoch == args.epochs - 1
-                        and i + (t - iters) == num_batches - 1):
-                    sample_grid(os.path.join(
-                        image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
-                                   f"iter_{t:06d}.png"))
+            for t in grid_iters(iters, chunk, args.save_interval,
+                                epoch == args.epochs - 1, i, num_batches):
+                sample_grid(os.path.join(
+                    image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                               f"iter_{t:06d}.png"))
             iters += chunk
             i += chunk
 
@@ -149,6 +150,7 @@ def train_wgan(args):
                                for x in jax.device_get(d_acc)])
         g_ep = np.concatenate([np.atleast_1d(np.asarray(x))
                                for x in jax.device_get(g_acc)])
+        trace_ctx.__exit__(None, None, None)
         timer.tick(num_batches)
         history["D_losses"].extend(d_ep.tolist())
         history["G_losses"].extend(g_ep.tolist())
