@@ -129,7 +129,12 @@ def main():
                         "BASELINE_MEASURED.json")
     if os.path.exists(path):
         with open(path) as f:
-            baseline = json.load(f)["torch_cpu_dcgan_64"]["imgs_per_sec"]
+            data = json.load(f)
+        # prefer the like-for-like batch-128 torch measurement (the
+        # reference batch, train_gan.py:231) over the b16 smoke number
+        entry = (data.get("torch_cpu_dcgan_64_b128")
+                 or data["torch_cpu_dcgan_64"])
+        baseline = entry["imgs_per_sec"]
 
     print(json.dumps({
         "metric": f"dcgan64_train_imgs_per_sec_{backend}",

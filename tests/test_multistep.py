@@ -218,3 +218,20 @@ def test_wgan_cgan_loops_run_with_steps_per_call(fake_dataset, tmp_path):
     ch = train_cgan(cargs)
     assert len(ch["G_losses_iter"]) == 3
     assert len(ch["perceptual_losses"]) == 1
+
+
+def test_grid_iters_cadence():
+    """Sample-sheet cadence (loop_common.grid_iters): every
+    save_interval-th iteration plus the final iteration of the final
+    epoch, across chunk boundaries."""
+    from xgan.train.loop_common import grid_iters
+    # chunk of 4 covering iters 498..501 with save_interval 500
+    assert grid_iters(498, 4, 500, False, 0, 10) == [500]
+    # K=1 behaves like the reference condition
+    assert grid_iters(500, 1, 500, False, 3, 10) == [500]
+    assert grid_iters(501, 1, 500, False, 4, 10) == []
+    # final iteration of the final epoch fires even off-cadence:
+    # chunk [6,7] at batch positions i=6..7 of 8 -> t=7 is the last
+    assert grid_iters(6, 2, 500, True, 6, 8) == [7]
+    # both conditions in one chunk
+    assert grid_iters(499, 2, 500, True, 6, 8) == [500]

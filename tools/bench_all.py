@@ -47,7 +47,12 @@ def timeit(fn, *args, iters=20, warmup=3):
         slopes.append((t_long - t_short) / (n_long - n_short))
     good = sorted(s for s in slopes if s > 0)
     if not good:
-        return 1e-9
+        # silently recording batch/1e-9 would be indistinguishable from
+        # a measurement; fail the task loudly instead (main() records
+        # the error for the key and keeps the prior value)
+        raise RuntimeError(
+            f"all chain slopes non-positive ({slopes}); tunnel variance "
+            "swamped the measurement — rerun")
     # median of the positive slopes; with exactly two left (one negative
     # variance artifact), average them rather than picking an extreme
     return good[1] if len(good) == 3 else sum(good) / len(good)
@@ -359,11 +364,24 @@ def main():
          lambda: bench_sharded_sampling_cpu8()),
     ]
     only = set(args.only.split(",")) if args.only else None
+    if only is not None:
+        known = {key for key, _, _ in tasks}
+        unknown = only - known
+        if unknown:
+            raise SystemExit(f"--only: unknown keys {sorted(unknown)}; "
+                             f"valid: {sorted(known)}")
     for key, desc, fn in tasks:
         if only is not None and key not in only:
             continue
         print(f"{desc}...")
-        results[key] = fn()
+        try:
+            results[key] = fn()
+        except Exception as e:
+            # keep the prior BENCH_DETAIL value for this key (merge step
+            # below only overwrites measured keys) and record the failure
+            print(f"FAILED {key}: {e}")
+            results.pop(key, None)
+            continue
         print(results[key])
 
     out = os.path.join(os.path.dirname(os.path.dirname(

@@ -72,45 +72,51 @@ def main():
                .integers(0, n_store, (args.steps, args.batch), np.int64)
                .astype(np.int32))
 
-    def loop_single(n):
+    # distinct keys per rep: byte-identical replays across reps could be
+    # deduplicated by the runtime (CLAUDE.md pitfall) and fake the min()
+    def loop_single(n, rep):
         g, d = g_state, d_state
+        key = jax.random.fold_in(base_key, rep)
         ms = []
         t0 = time.time()
         for i in range(n):
             g, d, m = step(g, d, images, jnp.asarray(batches[i]),
-                           jax.random.fold_in(base_key, i))
+                           jax.random.fold_in(key, i))
             ms.append(m)
         np.asarray(jax.device_get(jnp.stack(ms)))
         return time.time() - t0
 
-    def loop_multi(n):
+    def loop_multi(n, rep):
         g, d = g_state, d_state
+        key = jax.random.fold_in(base_key, 100 + rep)
         ms = []
         t0 = time.time()
         for c in range(n // args.k):
             g, d, m = multi(
                 g, d, images,
                 jnp.asarray(batches[c * args.k:(c + 1) * args.k]),
-                jnp.int32(c * args.k), base_key)
+                jnp.int32(c * args.k), key)
             ms.append(m)
         np.asarray(jax.device_get(jnp.concatenate(ms)))
         return time.time() - t0
 
     # warm/compile both
-    loop_single(2)
-    loop_multi(args.k)
+    loop_single(2, 999)
+    loop_multi(args.k, 999)
 
     n = args.steps
-    t_single = min(loop_single(n) for _ in range(3))
-    t_multi = min(loop_multi(n) for _ in range(3))
+    n_multi = (n // args.k) * args.k  # steps loop_multi actually runs
+    t_single = min(loop_single(n, r) for r in range(3))
+    t_multi = min(loop_multi(n, r) for r in range(3))
 
     out = {
         "size": args.size, "batch": args.batch, "k": args.k, "steps": n,
+        "multi_steps": n_multi,
         "single_dispatch_sec_per_step": t_single / n,
         "single_dispatch_imgs_per_sec": n * args.batch / t_single,
-        "multistep_sec_per_step": t_multi / n,
-        "multistep_imgs_per_sec": n * args.batch / t_multi,
-        "speedup": t_single / t_multi,
+        "multistep_sec_per_step": t_multi / n_multi,
+        "multistep_imgs_per_sec": n_multi * args.batch / t_multi,
+        "speedup": (t_single / n) / (t_multi / n_multi),
     }
     print(json.dumps(out))
 

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """A/B the full DCGAN fused train step with the phase conv lowerings on
-vs off (XGAN_NO_PHASE) — the step-level arbiter for xgan/ops/conv.py's
-stride-2 lowerings, since op-level microbenchmarks proved unreliable on
-this remote backend (dispatch dedup, loop-invariant hoisting)."""
+(XGAN_PHASE=1, the r2 opt-in) vs off (the default dilated path) — the
+step-level arbiter for xgan/ops/conv.py's stride-2 lowerings, since
+op-level microbenchmarks proved unreliable on this remote backend
+(dispatch dedup, loop-invariant hoisting). The legacy XGAN_NO_PHASE var
+is stripped from both runs; only XGAN_PHASE selects the variant."""
 import json
 import os
 import subprocess

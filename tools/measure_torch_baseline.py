@@ -84,11 +84,36 @@ def measure(size=64, batch=16, latent=100, fg=64, iters=3, warmup=1):
 
 
 if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated result keys to (re)measure")
+    args = ap.parse_args()
     print(f"torch {torch.__version__}, threads {torch.get_num_threads()}")
-    result = {"torch_cpu_dcgan_64": measure(size=64)}
-    print(json.dumps(result, indent=2))
+    tasks = {
+        # b16: quick smoke; b128: the reference batch (train_gan.py:231),
+        # the like-for-like denominator for bench.py's vs_baseline
+        "torch_cpu_dcgan_64": lambda: measure(size=64, batch=16),
+        "torch_cpu_dcgan_64_b128": lambda: measure(size=64, batch=128,
+                                                   iters=2),
+    }
+    only = set(args.only.split(",")) if args.only else None
+    result = {}
+    for key, fn in tasks.items():
+        if only is not None and key not in only:
+            continue
+        print(f"{key}...")
+        result[key] = fn()
+        print(json.dumps(result[key]))
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BASELINE_MEASURED.json")
+    merged = {}
+    if os.path.exists(out):
+        # keep entries this run did not re-measure (e.g. the committed
+        # 224px baseline) — never clobber numbers we cannot regenerate
+        with open(out) as f:
+            merged = json.load(f)
+    merged.update(result)
     with open(out, "w") as f:
-        json.dump(result, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(f"wrote {out}")

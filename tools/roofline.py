@@ -105,7 +105,7 @@ def main():
     rows = []
 
     def add(name, key, step_flops_per_img):
-        if key not in bench:
+        if key not in bench or "imgs_per_sec" not in bench[key]:
             return
         rate = bench[key]["imgs_per_sec"]
         tf = rate * step_flops_per_img / 1e12

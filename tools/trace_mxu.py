@@ -178,7 +178,6 @@ def _traced_run(run, trace_dir, steps):
 
 
 def run_dcgan(trace_root, steps=8):
-    from tools.bench_all import bench_dcgan  # noqa: F401  (setup twin)
     from xgan.models import dcgan
     from xgan.parallel import create_mesh
     from xgan.train.common import adam, create_state
@@ -207,19 +206,24 @@ def run_dcgan(trace_root, steps=8):
                                           np.uint8)))
     idx = jnp.arange(batch, dtype=jnp.int32) % 512
 
+    # AOT-compile once: the same executable serves the traced run AND the
+    # HLO text (lower().compile() after the fact would recompile the
+    # whole program a second time).
+    compiled = step.lower(holder["g"], holder["d"], images, idx,
+                          jax.random.key(1)).compile()
+
     def run(i):
-        holder["g"], holder["d"], metrics = step(
+        holder["g"], holder["d"], metrics = compiled(
             holder["g"], holder["d"], images, idx,
             jax.random.fold_in(jax.random.key(1), i))
         return metrics
 
     d = os.path.join(trace_root, "dcgan224")
     _traced_run(run, d, steps)
-    hlo = step.lower(holder["g"], holder["d"], images, idx,
-                     jax.random.key(1)).compile().as_text()
     from tools.roofline import dcgan_d_fwd, dcgan_g_fwd
     flops = (3 * dcgan_g_fwd(size) + 8 * dcgan_d_fwd(size)) * batch
-    return analyze(d, "dcgan_train_224px_b128", steps, flops, hlo_text=hlo)
+    return analyze(d, "dcgan_train_224px_b128", steps, flops,
+                   hlo_text=compiled.as_text())
 
 
 def run_wgan(trace_root, steps=4):
@@ -251,16 +255,18 @@ def run_wgan(trace_root, steps=4):
                                           np.uint8)))
     idx = jnp.arange(batch, dtype=jnp.int32)
 
+    compiled = step.lower(holder["g"], holder["c"], images, idx,
+                          jax.random.key(1)).compile()
+
     def run(i):
-        holder["g"], holder["c"], _, g_loss = step(
+        holder["g"], holder["c"], _, g_loss = compiled(
             holder["g"], holder["c"], images, idx,
             jax.random.fold_in(jax.random.key(1), i))
         return g_loss
 
     d = os.path.join(trace_root, "wgan224")
     _traced_run(run, d, steps)
-    hlo = step.lower(holder["g"], holder["c"], images, idx,
-                     jax.random.key(1)).compile().as_text()
+    hlo = compiled.as_text()
     from tools.roofline import wgan_c_fwd, wgan_g_fwd
     g, c = wgan_g_fwd(size), wgan_c_fwd(size)
     flops = (n_critic * (3 * g / n_critic + (2 * 3 + 3 * 3) * c)
@@ -303,20 +309,21 @@ def run_dcgan64_multistep(trace_root, chunks=3, k=8):
         np.random.default_rng(0).integers(0, 255, (2048, size, size, 3),
                                           np.uint8)))
     rng = np.random.default_rng(5)
+    compiled = step.lower(holder["g"], holder["d"], images,
+                          jnp.zeros((k, batch), jnp.int32), jnp.int32(0),
+                          jax.random.key(1)).compile()
 
     def run(i):
         idx_chunk = jnp.asarray(
             rng.integers(0, 2048, (k, batch), np.int64).astype(np.int32))
-        holder["g"], holder["d"], metrics = step(
+        holder["g"], holder["d"], metrics = compiled(
             holder["g"], holder["d"], images, idx_chunk,
             jnp.int32(i * k), jax.random.key(1))
         return metrics
 
     d = os.path.join(trace_root, "dcgan64k8")
     _traced_run(run, d, chunks)
-    idx_chunk = jnp.zeros((k, batch), jnp.int32)
-    hlo = step.lower(holder["g"], holder["d"], images, idx_chunk,
-                     jnp.int32(0), jax.random.key(1)).compile().as_text()
+    hlo = compiled.as_text()
     from tools.roofline import dcgan_d_fwd, dcgan_g_fwd
     flops = (3 * dcgan_g_fwd(size) + 8 * dcgan_d_fwd(size)) * batch
     return analyze(d, "dcgan_train_64px_b128_k8", chunks * k, flops,
@@ -364,17 +371,18 @@ def run_cgan(trace_root, steps=6):
         (np.arange(256) % 2).astype(np.int32)))
     idx = jnp.arange(batch, dtype=jnp.int32)
 
+    compiled = step.lower(holder["g"], holder["d"], vgg_params, images,
+                          labels, idx, jnp.int32(0),
+                          jax.random.key(1)).compile()
+
     def run(i):
-        holder["g"], holder["d"], metrics = step(
+        holder["g"], holder["d"], metrics = compiled(
             holder["g"], holder["d"], vgg_params, images, labels, idx,
             jnp.int32(0), jax.random.fold_in(jax.random.key(1), i))
         return metrics
 
     d = os.path.join(trace_root, "cgan224")
     _traced_run(run, d, steps)
-    compiled = step.lower(holder["g"], holder["d"], vgg_params, images,
-                          labels, idx, jnp.int32(0),
-                          jax.random.key(1)).compile()
     hlo = compiled.as_text()
     ca = compiled.cost_analysis() or {}
     flops = float(ca.get("flops", 0.0)) or None
@@ -407,8 +415,12 @@ def run_resnet(trace_root, steps=8, frozen=True):
     dummy_l = mesh_ctx.replicate(jnp.ones((1,), jnp.int32))
     idx = jnp.arange(batch, dtype=jnp.int32)
 
+    compiled = step.lower(holder["state"], images, labels, dummy, dummy_l,
+                          idx, jnp.float32(0.0),
+                          jax.random.key(1)).compile()
+
     def run(i):
-        holder["state"], losses, _, _ = step(
+        holder["state"], losses, _, _ = compiled(
             holder["state"], images, labels, dummy, dummy_l, idx,
             jnp.float32(0.0), jax.random.fold_in(jax.random.key(1), i))
         return losses
@@ -416,8 +428,7 @@ def run_resnet(trace_root, steps=8, frozen=True):
     tag = "frozen" if frozen else "unfrozen"
     d = os.path.join(trace_root, f"resnet224_{tag}")
     _traced_run(run, d, steps)
-    hlo = step.lower(holder["state"], images, labels, dummy, dummy_l, idx,
-                     jnp.float32(0.0), jax.random.key(1)).compile().as_text()
+    hlo = compiled.as_text()
     from tools.roofline import resnet50_fwd
     mult = 1.05 if frozen else 3.0
     flops = resnet50_fwd(size) * mult * batch
