@@ -33,7 +33,7 @@ FEATURE_MAPS = 64
 WARMUP = 3
 ITERS = 20
 STEPS_PER_CALL = 8
-FALLBACK_BASELINE_IMGS_PER_SEC = 41.66  # torch-CPU, this host (2026-08)
+FALLBACK_BASELINE_IMGS_PER_SEC = 70.59  # torch-CPU b128, this host (2026-08)
 
 
 def main():
