@@ -52,3 +52,149 @@ def test_dp8_matches_single_device():
                     jax.tree_util.tree_leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def _wgan_run(mesh_ctx, steps=2):
+    from xgan.models import wgan
+    from xgan.train.wgan import make_wgan_step
+    g_model = wgan.Generator(latent_dim=8, feature_maps=8, image_size=32)
+    c_model = wgan.Critic(feature_maps=8, image_size=32)
+    g_tx, c_tx = adam(2e-4, 0.5, 0.9), adam(2e-4, 0.5, 0.9)
+    k = jax.random.key(0)
+    g_state = mesh_ctx.replicate(create_state(
+        g_model, g_tx, k, jnp.zeros((2, 8)), train=False))
+    c_state = mesh_ctx.replicate(create_state(
+        c_model, c_tx, k, jnp.zeros((2, 32, 32, 3)), train=False))
+    step = make_wgan_step(g_model, c_model, g_tx, c_tx, latent_dim=8,
+                          critic_iters=2, lambda_gp=10.0,
+                          batch_sharding=mesh_ctx.batch_sharding(4),
+                          donate=False)
+    images = mesh_ctx.replicate(jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (64, 32, 32, 3),
+                                          np.uint8)))
+    out = []
+    for i in range(steps):
+        idx = jnp.asarray((np.arange(16) + 16 * i) % 64, dtype=jnp.int32)
+        g_state, c_state, d_losses, g_loss = step(
+            g_state, c_state, images, idx, jax.random.key(100 + i))
+        out.append(np.concatenate([
+            np.asarray(jax.device_get(d_losses)).reshape(-1),
+            [float(g_loss)]]))
+    return np.stack(out), jax.device_get(g_state.params)
+
+
+def test_wgan_dp8_matches_single_device():
+    """The gradient-penalty double-backward under a sharded batch must
+    reproduce the single-device numbers (global-reduction sync-BN-free
+    critic + interpolation/norm chains)."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 emulated devices")
+    m1, p1 = _wgan_run(create_mesh(devices=devs[:1]))
+    m8, p8 = _wgan_run(create_mesh(devices=devs[:8]))
+    np.testing.assert_allclose(m1, m8, rtol=2e-4, atol=2e-5)
+    # Params: cross-shard reduction order leaves last-bit noise that
+    # Adam's early updates amplify to ~lr (2e-4) on near-zero-gradient
+    # elements (the GP double-backward has many); bound by two lr
+    # quanta rather than machine epsilon.
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
+
+
+def _cgan_run(mesh_ctx, steps=2):
+    from xgan.models import cgan
+    from xgan.models.vgg import VGG16Features
+    from xgan.train.cgan import make_cgan_step
+    g_model = cgan.Generator(latent_dim=8, feature_maps=8, image_size=32)
+    d_model = cgan.Discriminator(feature_maps=8, image_size=32)
+    vgg_model = VGG16Features()
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    k = jax.random.key(0)
+    lab = jnp.zeros((2,), jnp.int32)
+    g_state = mesh_ctx.replicate(create_state(
+        g_model, g_tx, k, jnp.zeros((2, 8)), lab, train=False))
+    d_state = mesh_ctx.replicate(create_state(
+        d_model, d_tx, k, jnp.zeros((2, 32, 32, 3)), lab, train=False))
+    vgg_params = mesh_ctx.replicate(
+        vgg_model.init(k, jnp.zeros((1, 32, 32, 3)))["params"])
+    step = make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx,
+                          latent_dim=8,
+                          batch_sharding=mesh_ctx.batch_sharding(4),
+                          donate=False)
+    images = mesh_ctx.replicate(jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (64, 32, 32, 3),
+                                          np.uint8)))
+    labels = mesh_ctx.replicate(jnp.asarray(
+        (np.arange(64) % 2).astype(np.int32)))
+    out = []
+    for i in range(steps):
+        idx = jnp.asarray((np.arange(16) + 16 * i) % 64, dtype=jnp.int32)
+        g_state, d_state, metrics = step(
+            g_state, d_state, vgg_params, images, labels, idx,
+            jnp.int32(0), jax.random.key(100 + i))
+        out.append(np.asarray(jax.device_get(metrics)))
+    return np.stack(out)
+
+
+def test_cgan_dp8_matches_single_device():
+    """Perceptual + feature-matching + adaptive-gate step: sharded batch
+    == single device. Metrics only — CGAN's near-zero gradients make
+    Adam's early updates amplify last-bit noise in params (see
+    tests/test_multistep.py), while step metrics are pre-update."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 emulated devices")
+    m1 = _cgan_run(create_mesh(devices=devs[:1]))
+    m8 = _cgan_run(create_mesh(devices=devs[:8]))
+    np.testing.assert_allclose(m1, m8, rtol=1e-3, atol=1e-3)
+
+
+def _clf_run(mesh_ctx, steps=2):
+    from xgan.models.resnet import ResNet50
+    from xgan.train.classifier import classifier_optimizer, make_train_step
+    from xgan.train.common import ModelState
+    model = ResNet50(num_classes=2, stage_sizes=(1, 1, 1, 1))
+    tx = classifier_optimizer(1e-3, freeze_base=False)
+    v = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)),
+                   train=False)
+    state = mesh_ctx.replicate(ModelState(
+        params=v["params"], batch_stats=v["batch_stats"],
+        opt_state=tx.init(v["params"])))
+    step = make_train_step(model, tx, mode="mix",
+                           batch_sharding=mesh_ctx.batch_sharding(4))
+    rng = np.random.default_rng(0)
+    images = mesh_ctx.replicate(jnp.asarray(
+        rng.integers(0, 255, (64, 32, 32, 3), np.uint8)))
+    labels = mesh_ctx.replicate(jnp.asarray(
+        (np.arange(64) % 2).astype(np.int32)))
+    synth = mesh_ctx.replicate(jnp.asarray(
+        rng.integers(0, 255, (16, 32, 32, 3), np.uint8)))
+    synth_l = mesh_ctx.replicate(jnp.ones((16,), jnp.int32))
+    out = []
+    for i in range(steps):
+        idx = jnp.asarray((np.arange(16) + 16 * i) % 64, dtype=jnp.int32)
+        state, losses, preds, labs = step(
+            state, images, labels, synth, synth_l, idx,
+            jnp.float32(0.5), jax.random.key(100 + i))
+        out.append(np.concatenate([
+            np.asarray(jax.device_get(losses)),
+            np.asarray(jax.device_get(preds)).astype(np.float32),
+            np.asarray(jax.device_get(labs)).astype(np.float32)]))
+    return np.stack(out)
+
+
+def test_classifier_mix_dp8_matches_single_device():
+    """Curriculum-mix classifier step (gather + Bernoulli mix + sync-BN
+    ResNet + CE backward): sharded batch == single device, including the
+    mixer's RNG draws and per-sample losses/preds/labels. One step: the
+    pre-update math is the sharding property; post-update steps drift by
+    Adam-amplified reduction-order noise (lr 1e-3 here — see the WGAN
+    test's comment)."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 emulated devices")
+    m1 = _clf_run(create_mesh(devices=devs[:1]), steps=1)
+    m8 = _clf_run(create_mesh(devices=devs[:8]), steps=1)
+    np.testing.assert_allclose(m1, m8, rtol=5e-4, atol=1e-4)
