@@ -54,6 +54,17 @@ def test_dp8_matches_single_device():
                                    rtol=2e-3, atol=2e-5)
 
 
+# shared harness scaffolding for the per-trainer runs below
+def _u8_store(mesh_ctx, n=64):
+    return mesh_ctx.replicate(jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (n, 32, 32, 3),
+                                          np.uint8)))
+
+
+def _batch_idx(i, b=16, n=64):
+    return jnp.asarray((np.arange(b) + b * i) % n, dtype=jnp.int32)
+
+
 def _wgan_run(mesh_ctx, steps=2):
     from xgan.models import wgan
     from xgan.train.wgan import make_wgan_step
@@ -69,18 +80,17 @@ def _wgan_run(mesh_ctx, steps=2):
                           critic_iters=2, lambda_gp=10.0,
                           batch_sharding=mesh_ctx.batch_sharding(4),
                           donate=False)
-    images = mesh_ctx.replicate(jnp.asarray(
-        np.random.default_rng(0).integers(0, 255, (64, 32, 32, 3),
-                                          np.uint8)))
+    images = _u8_store(mesh_ctx)
     out = []
     for i in range(steps):
-        idx = jnp.asarray((np.arange(16) + 16 * i) % 64, dtype=jnp.int32)
         g_state, c_state, d_losses, g_loss = step(
-            g_state, c_state, images, idx, jax.random.key(100 + i))
+            g_state, c_state, images, _batch_idx(i), jax.random.key(100 + i))
         out.append(np.concatenate([
             np.asarray(jax.device_get(d_losses)).reshape(-1),
             [float(g_loss)]]))
-    return np.stack(out), jax.device_get(g_state.params)
+    # BOTH param trees: the GP double-backward lands in the critic
+    return (np.stack(out),
+            jax.device_get((g_state.params, c_state.params)))
 
 
 def test_wgan_dp8_matches_single_device():
@@ -123,26 +133,27 @@ def _cgan_run(mesh_ctx, steps=2):
                           latent_dim=8,
                           batch_sharding=mesh_ctx.batch_sharding(4),
                           donate=False)
-    images = mesh_ctx.replicate(jnp.asarray(
-        np.random.default_rng(0).integers(0, 255, (64, 32, 32, 3),
-                                          np.uint8)))
+    images = _u8_store(mesh_ctx)
     labels = mesh_ctx.replicate(jnp.asarray(
         (np.arange(64) % 2).astype(np.int32)))
     out = []
-    for i in range(steps):
-        idx = jnp.asarray((np.arange(16) + 16 * i) % 64, dtype=jnp.int32)
+    # step 0 at epoch 0 (gate forced open by `epoch < 5`), step 1 at
+    # epoch 5 — the gate then depends on the globally-reduced d_x/d_g_z1
+    # scalars, exercising the lax.cond decision under sharding too
+    for i, epoch in zip(range(steps), (0, 5)):
         g_state, d_state, metrics = step(
-            g_state, d_state, vgg_params, images, labels, idx,
-            jnp.int32(0), jax.random.key(100 + i))
+            g_state, d_state, vgg_params, images, labels, _batch_idx(i),
+            jnp.int32(epoch), jax.random.key(100 + i))
         out.append(np.asarray(jax.device_get(metrics)))
     return np.stack(out)
 
 
 def test_cgan_dp8_matches_single_device():
     """Perceptual + feature-matching + adaptive-gate step: sharded batch
-    == single device. Metrics only — CGAN's near-zero gradients make
-    Adam's early updates amplify last-bit noise in params (see
-    tests/test_multistep.py), while step metrics are pre-update."""
+    == single device, with the gate evaluated both forced-open (epoch 0)
+    and metric-driven (epoch 5). Metrics only — CGAN's near-zero
+    gradients make Adam's early updates amplify last-bit noise in params
+    (see tests/test_multistep.py), while step metrics are pre-update."""
     devs = jax.devices()
     if len(devs) < 8:
         pytest.skip("needs 8 emulated devices")
@@ -151,7 +162,10 @@ def test_cgan_dp8_matches_single_device():
     np.testing.assert_allclose(m1, m8, rtol=1e-3, atol=1e-3)
 
 
-def _clf_run(mesh_ctx, steps=2):
+def _clf_run(mesh_ctx, steps=1):
+    # default steps=1: the pre-update math is the sharding property;
+    # post-update steps drift by Adam-amplified reduction-order noise at
+    # lr 1e-3 (see the WGAN test's comment) and would need loose bounds
     from xgan.models.resnet import ResNet50
     from xgan.train.classifier import classifier_optimizer, make_train_step
     from xgan.train.common import ModelState
@@ -164,37 +178,33 @@ def _clf_run(mesh_ctx, steps=2):
         opt_state=tx.init(v["params"])))
     step = make_train_step(model, tx, mode="mix",
                            batch_sharding=mesh_ctx.batch_sharding(4))
-    rng = np.random.default_rng(0)
-    images = mesh_ctx.replicate(jnp.asarray(
-        rng.integers(0, 255, (64, 32, 32, 3), np.uint8)))
+    images = _u8_store(mesh_ctx)
     labels = mesh_ctx.replicate(jnp.asarray(
         (np.arange(64) % 2).astype(np.int32)))
+    rng = np.random.default_rng(1)
     synth = mesh_ctx.replicate(jnp.asarray(
         rng.integers(0, 255, (16, 32, 32, 3), np.uint8)))
     synth_l = mesh_ctx.replicate(jnp.ones((16,), jnp.int32))
-    out = []
+    out_losses, out_labels = [], []
     for i in range(steps):
-        idx = jnp.asarray((np.arange(16) + 16 * i) % 64, dtype=jnp.int32)
         state, losses, preds, labs = step(
-            state, images, labels, synth, synth_l, idx,
+            state, images, labels, synth, synth_l, _batch_idx(i),
             jnp.float32(0.5), jax.random.key(100 + i))
-        out.append(np.concatenate([
-            np.asarray(jax.device_get(losses)),
-            np.asarray(jax.device_get(preds)).astype(np.float32),
-            np.asarray(jax.device_get(labs)).astype(np.float32)]))
-    return np.stack(out)
+        out_losses.append(np.asarray(jax.device_get(losses)))
+        out_labels.append(np.asarray(jax.device_get(labs)))
+    return np.stack(out_losses), np.stack(out_labels)
 
 
 def test_classifier_mix_dp8_matches_single_device():
     """Curriculum-mix classifier step (gather + Bernoulli mix + sync-BN
     ResNet + CE backward): sharded batch == single device, including the
-    mixer's RNG draws and per-sample losses/preds/labels. One step: the
-    pre-update math is the sharding property; post-update steps drift by
-    Adam-amplified reduction-order noise (lr 1e-3 here — see the WGAN
-    test's comment)."""
+    mixer's RNG draws. Compares per-sample losses (continuous — argmax
+    preds could flip on a near-tie from legitimate reduction-order
+    noise) and exact mixed-label equality."""
     devs = jax.devices()
     if len(devs) < 8:
         pytest.skip("needs 8 emulated devices")
-    m1 = _clf_run(create_mesh(devices=devs[:1]), steps=1)
-    m8 = _clf_run(create_mesh(devices=devs[:8]), steps=1)
-    np.testing.assert_allclose(m1, m8, rtol=5e-4, atol=1e-4)
+    l1, lab1 = _clf_run(create_mesh(devices=devs[:1]))
+    l8, lab8 = _clf_run(create_mesh(devices=devs[:8]))
+    np.testing.assert_allclose(l1, l8, rtol=5e-4, atol=1e-4)
+    np.testing.assert_array_equal(lab1, lab8)
