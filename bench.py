@@ -37,21 +37,14 @@ FALLBACK_BASELINE_IMGS_PER_SEC = 70.59  # torch-CPU b128, this host (2026-08)
 
 
 def main():
+    # NB: do NOT enable jax's local persistent compilation cache here —
+    # measured on this backend it never captures the TPU programs (the
+    # axon server caches compiles across connections itself: a re-run
+    # within the server-cache lifetime compiles in ~2 min vs ~10 cold,
+    # with the local cache dir EMPTY), while it does capture small
+    # XLA:CPU AOT executables whose reload trips machine-feature
+    # mismatches ("could lead to SIGILL").
     import jax
-
-    # Persistent compilation cache: the K=8 scan program costs minutes to
-    # compile cold on this backend; a prior run (or the repo's pre-warmed
-    # cache) makes subsequent bench invocations compile in seconds. If
-    # the PJRT client cannot serialize executables this is a silent no-op.
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "data", "xla_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     import jax.numpy as jnp
     import numpy as np
 
