@@ -98,6 +98,11 @@ if __name__ == "__main__":
                                                    iters=2),
     }
     only = set(args.only.split(",")) if args.only else None
+    if only is not None:
+        unknown = only - set(tasks)
+        if unknown:
+            ap.error(f"unknown --only keys {sorted(unknown)}; "
+                     f"valid: {sorted(tasks)}")
     result = {}
     for key, fn in tasks.items():
         if only is not None and key not in only:

@@ -12,7 +12,10 @@ against this framework's artifacts:
   the CAM target (layer4 output feeding global-average-pool + fc,
   reference targets model.layer4[-1].conv3 — analyze_results.py:466) gives
   the analytic form cam = relu(sum_k fc_w[k, class] * A_k), which is exact
-  Grad-CAM; the reference's eigen_smooth PCA variant is not reproduced.
+  Grad-CAM; the reference's eigen_smooth PCA variant (its CAM call passes
+  eigen_smooth=True, analyze_results.py:550-552) is reproduced by
+  ``eigen_smooth_2d`` below (default-on, golden-tested against numpy SVD
+  in tests/test_analysis.py).
 """
 from __future__ import annotations
 

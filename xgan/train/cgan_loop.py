@@ -35,7 +35,7 @@ from xgan.train.cgan import make_cgan_step
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import grid_iters, replay_data_rng, \
-    resume_history
+    export_generator_pth, resume_history, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -158,39 +158,41 @@ def train_cgan(args):
         num_batches = batches.shape[0]
         epoch_metrics = []
 
-        # Optional XLA profiler capture of the first post-compile epoch.
-        trace_ctx = maybe_trace(
-            args.trace_dir if (getattr(args, "trace_dir", "")
-                               and epoch == start_epoch + 1) else None)
-        trace_ctx.__enter__()
+        # Optional XLA profiler capture (first post-compile epoch, or the
+        # only epoch on 1-epoch runs); exception-safe via the with-block.
+        with maybe_trace(
+                getattr(args, "trace_dir", "")
+                if (getattr(args, "trace_dir", "")
+                    and epoch == trace_epoch(start_epoch, args.epochs))
+                else None):
+            i = 0
+            while i < num_batches:
+                chunk = (k_steps if (multi_fn is not None
+                                     and i + k_steps <= num_batches) else 1)
+                if chunk > 1:
+                    g_state, d_state, metrics = multi_fn(
+                        g_state, d_state, vgg_params, device_store.images,
+                        device_store.labels,
+                        jnp.asarray(batches[i:i + chunk]),
+                        jnp.int32(epoch), jnp.int32(iters), k_data)
+                else:
+                    g_state, d_state, metrics = step_fn(
+                        g_state, d_state, vgg_params, device_store.images,
+                        device_store.labels, jnp.asarray(batches[i]),
+                        jnp.int32(epoch), jax.random.fold_in(k_data, iters))
+                epoch_metrics.append(metrics)
 
-        i = 0
-        while i < num_batches:
-            chunk = (k_steps if (multi_fn is not None
-                                 and i + k_steps <= num_batches) else 1)
-            if chunk > 1:
-                g_state, d_state, metrics = multi_fn(
-                    g_state, d_state, vgg_params, device_store.images,
-                    device_store.labels, jnp.asarray(batches[i:i + chunk]),
-                    jnp.int32(epoch), jnp.int32(iters), k_data)
-            else:
-                g_state, d_state, metrics = step_fn(
-                    g_state, d_state, vgg_params, device_store.images,
-                    device_store.labels, jnp.asarray(batches[i]),
-                    jnp.int32(epoch), jax.random.fold_in(k_data, iters))
-            epoch_metrics.append(metrics)
+                for t in grid_iters(iters, chunk, args.save_interval,
+                                    epoch == args.epochs - 1, i,
+                                    num_batches):
+                    sample_grid(os.path.join(
+                        image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                                   f"iter_{t:06d}.png"))
+                iters += chunk
+                i += chunk
 
-            for t in grid_iters(iters, chunk, args.save_interval,
-                                epoch == args.epochs - 1, i, num_batches):
-                sample_grid(os.path.join(
-                    image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
-                               f"iter_{t:06d}.png"))
-            iters += chunk
-            i += chunk
-
-        em = np.asarray(jax.device_get(jnp.concatenate(
-            [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
-        trace_ctx.__exit__(None, None, None)
+            em = np.asarray(jax.device_get(jnp.concatenate(
+                [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
         timer.tick(num_batches)
         history["G_losses_iter"].extend(em[:, 0].tolist())
         history["D_losses_iter"].extend(em[:, 1].tolist())
@@ -225,6 +227,7 @@ def train_cgan(args):
                    g_state.variables())
     save_variables(os.path.join(model_dir, "discriminator_final.msgpack"),
                    d_state.variables())
+    export_generator_pth(model_dir, "cgan", g_state)
     print(f"Saved final models to {model_dir}")
 
     write_json(history_path, history)

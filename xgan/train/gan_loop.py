@@ -24,7 +24,7 @@ from xgan.parallel import create_mesh
 from xgan.train.common import adam, create_state
 from xgan.train.gan import make_dcgan_step
 from xgan.train.loop_common import grid_iters, replay_data_rng, \
-    resume_history
+    export_generator_pth, resume_history, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -153,41 +153,43 @@ def train_dcgan(args):
         num_batches = batches.shape[0]
         epoch_metrics = []
 
-        # Optional XLA profiler capture of the first post-compile epoch.
-        trace_ctx = maybe_trace(
-            args.trace_dir if (args.trace_dir
-                               and epoch == start_epoch + 1) else None)
-        trace_ctx.__enter__()
+        # Optional XLA profiler capture (first post-compile epoch, or the
+        # only epoch on 1-epoch runs); the with-block finalizes the trace
+        # even if a dispatch raises mid-epoch.
+        with maybe_trace(
+                args.trace_dir
+                if (args.trace_dir
+                    and epoch == trace_epoch(start_epoch, args.epochs))
+                else None):
+            i = 0
+            while i < num_batches:
+                chunk = (k_steps if (multi_fn is not None
+                                     and i + k_steps <= num_batches) else 1)
+                if chunk > 1:
+                    g_state, d_state, metrics = multi_fn(
+                        g_state, d_state, device_store.images,
+                        jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
+                        k_data)
+                else:
+                    g_state, d_state, metrics = step_fn(
+                        g_state, d_state, device_store.images,
+                        jnp.asarray(batches[i]),
+                        jax.random.fold_in(k_data, iters))
+                epoch_metrics.append(metrics)
 
-        i = 0
-        while i < num_batches:
-            chunk = (k_steps if (multi_fn is not None
-                                 and i + k_steps <= num_batches) else 1)
-            if chunk > 1:
-                g_state, d_state, metrics = multi_fn(
-                    g_state, d_state, device_store.images,
-                    jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
-                    k_data)
-            else:
-                g_state, d_state, metrics = step_fn(
-                    g_state, d_state, device_store.images,
-                    jnp.asarray(batches[i]),
-                    jax.random.fold_in(k_data, iters))
-            epoch_metrics.append(metrics)
+                for t in grid_iters(iters, chunk, args.save_interval,
+                                    epoch == args.epochs - 1, i,
+                                    num_batches):
+                    sample_grid(os.path.join(
+                        gan_output_dir,
+                        f"fake_samples_epoch_{epoch + 1:03d}_"
+                        f"iter_{t:06d}.png"))
+                iters += chunk
+                i += chunk
 
-            for t in grid_iters(iters, chunk, args.save_interval,
-                                epoch == args.epochs - 1, i, num_batches):
-                sample_grid(os.path.join(
-                    gan_output_dir,
-                    f"fake_samples_epoch_{epoch + 1:03d}_"
-                    f"iter_{t:06d}.png"))
-            iters += chunk
-            i += chunk
-
-        # One device->host sync per epoch for all per-iter metrics.
-        em = np.asarray(jax.device_get(jnp.concatenate(
-            [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
-        trace_ctx.__exit__(None, None, None)
+            # One device->host sync per epoch for all per-iter metrics.
+            em = np.asarray(jax.device_get(jnp.concatenate(
+                [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
         timer.tick(num_batches)
         history["G_losses_iter"].extend(em[:, 0].tolist())
         history["D_losses_iter"].extend(em[:, 1].tolist())
@@ -222,6 +224,7 @@ def train_dcgan(args):
     save_variables(os.path.join(gan_model_dir,
                                 "discriminator_final.msgpack"),
                    d_state.variables())
+    export_generator_pth(gan_model_dir, "dcgan", g_state)
     print(f"Saved final models to {gan_model_dir}")
 
     write_json(history_path, history)

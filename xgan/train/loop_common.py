@@ -38,7 +38,39 @@ def grid_iters(iters: int, chunk: int, save_interval: int,
     """Iterations in [iters, iters+chunk) at which a sample sheet is due:
     the reference's every-save_interval cadence (train_gan.py:166-169)
     plus the final iteration of the final epoch. With chunked dispatch
-    (--steps-per-call) the sheet renders the post-chunk state."""
-    return [t for t in range(iters, iters + chunk)
-            if t % save_interval == 0
-            or (last_epoch and i + (t - iters) == num_batches - 1)]
+    (--steps-per-call) every due iteration in the chunk would render the
+    IDENTICAL post-chunk state, so only the last due one emits a sheet —
+    at most one per dispatch, never byte-duplicate files."""
+    due = [t for t in range(iters, iters + chunk)
+           if t % save_interval == 0
+           or (last_epoch and i + (t - iters) == num_batches - 1)]
+    return due[-1:]
+
+
+def export_generator_pth(model_dir: str, kind: str, g_state) -> None:
+    """Write a ``generator_final.pth`` twin of the msgpack final
+    checkpoint in the torch state-dict layout the reference samplers load
+    (reference generate_synthetic.py:23-32) — classifier checkpoints
+    already get .pth twins; this closes the same interop gap for
+    generators. Best-effort: a missing torch prints a warning instead of
+    failing the finished training run."""
+    import jax
+
+    from xgan.models.pretrained import GENERATOR_TORCH_CODECS
+    path = os.path.join(model_dir, "generator_final.pth")
+    try:
+        host = jax.device_get(g_state.variables())
+        GENERATOR_TORCH_CODECS[kind][1](path, host["params"],
+                                        host["batch_stats"])
+        print(f"Saved torch generator twin to {path}")
+    except Exception as e:  # noqa: BLE001 — never fail a finished run
+        print(f"Warning: could not write {path}: {e}")
+
+
+def trace_epoch(start_epoch: int, epochs: int) -> int:
+    """Epoch index the XLA profiler captures when --trace-dir is set: the
+    first post-compile epoch, falling back to the only remaining epoch on
+    short runs (accepting compile time inside the trace) so a 1-epoch
+    profiling run is never a silent no-op. Generalizes the classifier
+    loop's min(1, epochs-1) pattern to resumed runs."""
+    return min(start_epoch + 1, epochs - 1)

@@ -124,28 +124,27 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
             batches = batches[:args.limit_batches]
             n_valid = np.minimum(n_valid, batches.shape[0] * batch_size)
         loss_acc, pred_acc, lab_acc = [], [], []
-        # Optional XLA profiler capture of one post-compile train phase.
-        trace_ctx = maybe_trace(getattr(args, "trace_dir", "")
-                                if epoch == min(1, args.epochs - 1)
-                                else None)
-        trace_ctx.__enter__()
-        for i in range(batches.shape[0]):
-            keys = jax.random.split(
-                jax.random.fold_in(k_train, step_counter), k)
-            step_counter += 1
-            pool_arg = () if synth_pools is None else (synth_pools,)
-            stacked, losses, preds, labels = train_step(
-                stacked, real_dev.images, real_dev.labels,
-                synth_dev.images, synth_dev.labels, *pool_arg,
-                jnp.asarray(batches[i]), jnp.float32(ratio), keys)
-            loss_acc.append(losses)
-            pred_acc.append(preds)
-            lab_acc.append(labels)
+        # Optional XLA profiler capture of one post-compile train phase;
+        # exception-safe via the with-block.
+        with maybe_trace(getattr(args, "trace_dir", "")
+                         if epoch == min(1, args.epochs - 1)
+                         else None):
+            for i in range(batches.shape[0]):
+                keys = jax.random.split(
+                    jax.random.fold_in(k_train, step_counter), k)
+                step_counter += 1
+                pool_arg = () if synth_pools is None else (synth_pools,)
+                stacked, losses, preds, labels = train_step(
+                    stacked, real_dev.images, real_dev.labels,
+                    synth_dev.images, synth_dev.labels, *pool_arg,
+                    jnp.asarray(batches[i]), jnp.float32(ratio), keys)
+                loss_acc.append(losses)
+                pred_acc.append(preds)
+                lab_acc.append(labels)
 
-        tr_losses = _fold_metrics(loss_acc, n_valid)
-        tr_preds = _fold_metrics(pred_acc, n_valid)
-        tr_labels = _fold_metrics(lab_acc, n_valid)
-        trace_ctx.__exit__(None, None, None)
+            tr_losses = _fold_metrics(loss_acc, n_valid)
+            tr_preds = _fold_metrics(pred_acc, n_valid)
+            tr_labels = _fold_metrics(lab_acc, n_valid)
 
         # --- validation (all folds in one vmapped pass per batch)
         val_batches, val_valid = fold_epoch_batches(

@@ -22,7 +22,7 @@ from xgan.parallel import create_mesh
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import grid_iters, replay_data_rng, \
-    resume_history
+    export_generator_pth, resume_history, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.train.wgan import make_wgan_step
 from xgan.utils import StepTimer, check_create_dir
@@ -113,44 +113,45 @@ def train_wgan(args):
         num_batches = batches.shape[0]
         d_acc, g_acc = [], []
 
-        # Optional XLA profiler capture of the first post-compile epoch.
-        trace_ctx = maybe_trace(
-            args.trace_dir if (getattr(args, "trace_dir", "")
-                               and epoch == start_epoch + 1) else None)
-        trace_ctx.__enter__()
+        # Optional XLA profiler capture (first post-compile epoch, or the
+        # only epoch on 1-epoch runs); exception-safe via the with-block.
+        with maybe_trace(
+                getattr(args, "trace_dir", "")
+                if (getattr(args, "trace_dir", "")
+                    and epoch == trace_epoch(start_epoch, args.epochs))
+                else None):
+            i = 0
+            while i < num_batches:
+                chunk = (k_steps if (multi_fn is not None
+                                     and i + k_steps <= num_batches) else 1)
+                if chunk > 1:
+                    g_state, c_state, d_losses, g_loss = multi_fn(
+                        g_state, c_state, device_store.images,
+                        jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
+                        k_data)
+                else:
+                    g_state, c_state, d_losses, g_loss = step_fn(
+                        g_state, c_state, device_store.images,
+                        jnp.asarray(batches[i]),
+                        jax.random.fold_in(k_data, iters))
+                d_acc.append(d_losses)
+                g_acc.append(g_loss)
 
-        i = 0
-        while i < num_batches:
-            chunk = (k_steps if (multi_fn is not None
-                                 and i + k_steps <= num_batches) else 1)
-            if chunk > 1:
-                g_state, c_state, d_losses, g_loss = multi_fn(
-                    g_state, c_state, device_store.images,
-                    jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
-                    k_data)
-            else:
-                g_state, c_state, d_losses, g_loss = step_fn(
-                    g_state, c_state, device_store.images,
-                    jnp.asarray(batches[i]),
-                    jax.random.fold_in(k_data, iters))
-            d_acc.append(d_losses)
-            g_acc.append(g_loss)
+                for t in grid_iters(iters, chunk, args.save_interval,
+                                    epoch == args.epochs - 1, i,
+                                    num_batches):
+                    sample_grid(os.path.join(
+                        image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                                   f"iter_{t:06d}.png"))
+                iters += chunk
+                i += chunk
 
-            for t in grid_iters(iters, chunk, args.save_interval,
-                                epoch == args.epochs - 1, i, num_batches):
-                sample_grid(os.path.join(
-                    image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
-                               f"iter_{t:06d}.png"))
-            iters += chunk
-            i += chunk
-
-        # (critic_iters,) per single step, (K, critic_iters) per chunk;
-        # flatten in iteration order either way.
-        d_ep = np.concatenate([np.asarray(x).reshape(-1)
-                               for x in jax.device_get(d_acc)])
-        g_ep = np.concatenate([np.atleast_1d(np.asarray(x))
-                               for x in jax.device_get(g_acc)])
-        trace_ctx.__exit__(None, None, None)
+            # (critic_iters,) per single step, (K, critic_iters) per
+            # chunk; flatten in iteration order either way.
+            d_ep = np.concatenate([np.asarray(x).reshape(-1)
+                                   for x in jax.device_get(d_acc)])
+            g_ep = np.concatenate([np.atleast_1d(np.asarray(x))
+                                   for x in jax.device_get(g_acc)])
         timer.tick(num_batches)
         history["D_losses"].extend(d_ep.tolist())
         history["G_losses"].extend(g_ep.tolist())
@@ -176,6 +177,7 @@ def train_wgan(args):
                    g_state.variables())
     save_variables(os.path.join(model_dir, "discriminator_final.msgpack"),
                    c_state.variables())
+    export_generator_pth(model_dir, "wgan", g_state)
     print("Saved final models.")
     write_json(history_path, history)
     plot_wgan_losses(history,
