@@ -1,0 +1,683 @@
+"""Multi-step (trajectory) training-dynamics parity vs eager torch.
+
+Extends the 1-iteration parity of tests/test_torch_parity.py to
+seed-controlled N-step trajectories for all four trainers (VERDICT r2
+next #1): the strongest in-environment proxy for the env-gated
+accuracy-parity risk — BN-momentum accumulation, Adam moment
+trajectories, the WGAN critic loop + GP double-backward, and the CGAN
+adaptive gate all only reveal drift over many steps.
+
+Method: drive our REAL jitted step functions exactly as the epoch loops
+do (per-step key = fold_in(k_data, t)), then replay the SAME random
+draws (flip masks, noise, GP alphas, label-smoothing noise) through an
+eager-torch replica of the reference training loop
+(train_gan.py:119-150, train_wggan.py:66-94, train_cgan.py:156-193,
+train_classifier.py:136-166) with weights copied from our initializers.
+Both sides are deterministic, so the trajectories are reproducible and
+the tolerances below are pinned against measured deviations (see each
+test's comment) with ~10x margin for BLAS/XLA reduction-order noise.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from xgan.data.pipeline import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
+from xgan.train.common import adam, create_state  # noqa: E402
+
+LATENT, FM, SIZE, B = 8, 8, 32, 4
+
+
+def _store(n, seed, size=SIZE):
+    return np.random.default_rng(seed).integers(
+        0, 255, (n, size, size, 3), np.uint8)
+
+
+def _normalize(u8):
+    return ((u8.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+            / IMAGENET_STD).astype(np.float32)
+
+
+def _flip(u8, mask):
+    return np.where(mask[:, None, None, None], u8[:, :, ::-1, :], u8)
+
+
+def _nchw(x):
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+
+
+def _assert_traj(name, ours, theirs, atol, early_atol=None):
+    """Pointwise trajectory comparison. ``early_atol`` additionally pins
+    the first STATS_T steps tighter: early deviation means semantic drift
+    (the benign reduction-order noise has not compounded yet), while late
+    deviation in a GAN is partly chaos amplification."""
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    diff = np.max(np.abs(ours - theirs))
+    early = np.max(np.abs(ours[:STATS_T] - theirs[:STATS_T]))
+    print(f"[traj] {name}: max deviation {diff:.3e} (atol {atol}), "
+          f"first-{STATS_T} {early:.3e}")
+    if early_atol is not None:
+        assert early < early_atol, (
+            f"{name}: early deviation {early:.3e} > {early_atol}")
+    assert diff < atol, (
+        f"{name}: max trajectory deviation {diff:.3e} > atol {atol}\n"
+        f"ours:   {ours.ravel()[:10]}\ntheirs: {theirs.ravel()[:10]}")
+
+
+STATS_T = 3  # step at which BN running stats are snapshotted + compared
+
+
+def _torch_bn_snapshot(torch_module):
+    return [(m.running_mean.detach().numpy().copy(),
+             m.running_var.detach().numpy().copy())
+            for m in torch_module.modules()
+            if isinstance(m, tnn.BatchNorm2d)]
+
+
+def _stats_drift(batch_stats, torch_snapshot, eps=1e-3):
+    """Max relative |ours - theirs| over BN running mean/var after
+    STATS_T steps — the only observable that catches BN momentum /
+    unbiased-var semantic drift (train-mode forwards never consume
+    running stats, so the metric trajectories are blind to it). Compared
+    EARLY (step 3, not step N): by step 30 the benign Adam random walk
+    on ~0.02-scale weights (see _param_drift) has shifted deep-layer
+    activations enough that late stats legitimately differ; at step 3
+    the accumulated drift is ~1e-3 while a wrong momentum (0.01 vs 0.1)
+    or biased-var update already shows as >0.3 relative."""
+    bn_keys = sorted([k for k in batch_stats
+                      if k.startswith("TorchBatchNorm")],
+                     key=lambda k: int(k.split("_")[-1]))
+    worst = 0.0
+    for key, (tm, tv) in zip(bn_keys, torch_snapshot):
+        om = np.asarray(batch_stats[key]["mean"])
+        ov = np.asarray(batch_stats[key]["var"])
+        worst = max(worst, float(np.max(np.abs(om - tm)
+                                        / (np.abs(tm) + eps))))
+        worst = max(worst, float(np.max(np.abs(ov - tv)
+                                        / (np.abs(tv) + eps))))
+    return worst
+
+
+def _param_drift(params, torch_module, transpose_conv):
+    """Max |ours - theirs| over conv kernels + BN scale/bias after
+    training, converting torch back to our HWIO layout."""
+    conv_keys = sorted([k for k in params if k.startswith("Conv")],
+                       key=lambda k: int(k.split("_")[-1]))
+    bn_keys = sorted([k for k in params if k.startswith("TorchBatchNorm")],
+                     key=lambda k: int(k.split("_")[-1]))
+    convs = [m for m in torch_module.modules()
+             if isinstance(m, (tnn.Conv2d, tnn.ConvTranspose2d))]
+    bns = [m for m in torch_module.modules()
+           if isinstance(m, tnn.BatchNorm2d)]
+    worst = 0.0
+    for key, conv in zip(conv_keys, convs):
+        w = conv.weight.detach().numpy()
+        if transpose_conv:
+            w = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]  # -> our HWIO
+        else:
+            w = np.transpose(w, (2, 3, 1, 0))
+        worst = max(worst, float(np.max(np.abs(
+            np.asarray(params[key]["kernel"]) - w))))
+    for key, bn in zip(bn_keys, bns):
+        worst = max(worst, float(np.max(np.abs(
+            np.asarray(params[key]["scale"])
+            - bn.weight.detach().numpy()))))
+        worst = max(worst, float(np.max(np.abs(
+            np.asarray(params[key]["bias"]) - bn.bias.detach().numpy()))))
+    return worst
+
+
+# ---------------------------------------------------------------------------
+# DCGAN: 30 reference iterations (train_gan.py:119-150).
+# ---------------------------------------------------------------------------
+
+def test_dcgan_trajectory_matches_torch():
+    from tests.test_torch_parity import (build_torch_models,
+                                         copy_weights_to_torch)
+    from xgan.models import dcgan
+    from xgan.train.gan import make_dcgan_step
+
+    N = 30
+    g_model = dcgan.Generator(latent_dim=LATENT, feature_maps=FM,
+                              image_size=SIZE)
+    d_model = dcgan.Discriminator(feature_maps=FM, image_size=SIZE)
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    key = jax.random.key(0)
+    g_state = create_state(g_model, g_tx, key, jnp.zeros((2, LATENT)),
+                           train=False)
+    d_state = create_state(d_model, d_tx, key,
+                           jnp.zeros((2, SIZE, SIZE, 3)), train=False)
+    gt, dt = build_torch_models()
+    copy_weights_to_torch(g_state.params, gt, transpose_conv=True)
+    copy_weights_to_torch(d_state.params, dt, transpose_conv=False)
+
+    images = _store(16, seed=3)
+    idx = np.stack([(np.arange(B) + B * t) % 16 for t in range(N)])
+    k_data = jax.random.key(5)
+
+    step = make_dcgan_step(g_model, d_model, g_tx, d_tx,
+                           latent_dim=LATENT, donate=False)
+    ours = []
+    for t in range(N):
+        g_state, d_state, m = step(g_state, d_state, jnp.asarray(images),
+                                   jnp.asarray(idx[t]),
+                                   jax.random.fold_in(k_data, t))
+        ours.append(np.asarray(m))
+        if t == STATS_T - 1:
+            our_stats = jax.device_get((g_state.batch_stats,
+                                        d_state.batch_stats))
+    ours = np.stack(ours)  # (N, 5): loss_G, loss_D, D_x, D_G_z1, D_G_z2
+
+    bce = tnn.BCELoss()
+    opt_d = torch.optim.Adam(dt.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_g = torch.optim.Adam(gt.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    theirs = []
+    for t in range(N):
+        key_t = jax.random.fold_in(k_data, t)
+        k_flip, k_noise = jax.random.split(key_t)
+        mask = np.asarray(jax.random.bernoulli(k_flip, 0.5, (B,)))
+        noise = np.asarray(jax.random.normal(k_noise, (B, LATENT)))
+        real = _nchw(_normalize(_flip(images[idx[t]], mask)))
+        noise_t = torch.from_numpy(
+            noise.reshape(B, LATENT, 1, 1).copy())
+
+        dt.zero_grad()
+        out_real = torch.sigmoid(dt(real)).view(-1)
+        loss_real = bce(out_real, torch.full((B,), 0.9))
+        loss_real.backward()
+        d_x = out_real.mean().item()
+        fake = gt(noise_t)
+        out_fake = torch.sigmoid(dt(fake.detach())).view(-1)
+        loss_fake = bce(out_fake, torch.zeros(B))
+        loss_fake.backward()
+        d_g_z1 = out_fake.mean().item()
+        opt_d.step()
+
+        gt.zero_grad()
+        out = torch.sigmoid(dt(fake)).view(-1)
+        loss_g = bce(out, torch.full((B,), 0.9))
+        loss_g.backward()
+        d_g_z2 = out.mean().item()
+        opt_g.step()
+        theirs.append([loss_g.item(), (loss_real + loss_fake).item(),
+                       d_x, d_g_z1, d_g_z2])
+        if t == STATS_T - 1:
+            torch_snap = (_torch_bn_snapshot(gt), _torch_bn_snapshot(dt))
+    theirs = np.stack(theirs)
+
+    # Measured: first-3-step deviation 2.5e-6 (semantic pin), full
+    # 30-step trajectory 8.9e-3 (reduction-order noise amplified through
+    # the D/G feedback); 5e-2 keeps ~5x margin while a semantic drift
+    # (wrong label smoothing, update order, BN mode) blows past 0.2
+    # within a few steps when seeded wrong.
+    _assert_traj("dcgan metrics", ours, theirs, atol=5e-2,
+                 early_atol=1e-4)
+    # Param drift guards layout/copy bugs (a wrong kernel layout shows as
+    # ~weight-scale, 5e-2+). Adam's per-coordinate step is ~lr regardless
+    # of gradient magnitude, so ~zero-gradient coordinates random-walk by
+    # up to lr per step when reduction-order noise flips the update sign:
+    # the honest bound is 2*lr*N, not a float epsilon. Measured g 5.7e-3,
+    # d 1.2e-3 (within the walk bound; metrics above are the real check).
+    bound = 2 * 2e-4 * N
+    g_drift = _param_drift(g_state.params, gt, transpose_conv=True)
+    d_drift = _param_drift(d_state.params, dt, transpose_conv=False)
+    print(f"[traj] dcgan param drift g={g_drift:.3e} d={d_drift:.3e}")
+    assert g_drift < bound, g_drift
+    assert d_drift < bound, d_drift
+    gs_drift = _stats_drift(our_stats[0], torch_snap[0])
+    ds_drift = _stats_drift(our_stats[1], torch_snap[1])
+    print(f"[traj] dcgan stats drift g={gs_drift:.3e} d={ds_drift:.3e}")
+    assert gs_drift < 1e-2, gs_drift  # see _stats_drift docstring
+    assert ds_drift < 1e-2, ds_drift
+
+
+# ---------------------------------------------------------------------------
+# WGAN-GP: 20 iterations x 2 critic updates (train_wggan.py:66-94 with the
+# gradient_penalty double-backward, wggan.py:72-89).
+# ---------------------------------------------------------------------------
+
+def _torch_wgan_models(fm):
+    from tests.test_generator_pth import _RefDCGANGenerator
+    g = _RefDCGANGenerator(LATENT, [fm * 16, fm * 8, fm * 4, fm * 2, fm],
+                           3, SIZE // 32)
+
+    class _RefCritic(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            layers = [tnn.Conv2d(3, fm, 4, 2, 1, bias=False),
+                      tnn.LeakyReLU(0.2, True)]
+            for cin, cout in [(fm, fm * 2), (fm * 2, fm * 4),
+                              (fm * 4, fm * 8)]:
+                layers += [tnn.Conv2d(cin, cout, 4, 2, 1, bias=False),
+                           tnn.BatchNorm2d(cout), tnn.LeakyReLU(0.2, True)]
+            layers += [tnn.Conv2d(fm * 8, 1, SIZE // 32, 1, 0, bias=False)]
+            self.main = tnn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.main(x).mean([2, 3]).view(-1)
+
+    return g, _RefCritic()
+
+
+def test_wgan_trajectory_matches_torch():
+    from tests.test_torch_parity import copy_weights_to_torch
+    from xgan.models import wgan
+    from xgan.train.wgan import make_wgan_step
+
+    N, N_CRITIC, LAMBDA = 20, 2, 10.0
+    g_model = wgan.Generator(latent_dim=LATENT, feature_maps=FM,
+                             image_size=SIZE)
+    c_model = wgan.Critic(feature_maps=FM, image_size=SIZE)
+    g_tx, c_tx = adam(2e-4, 0.5, beta2=0.9), adam(2e-4, 0.5, beta2=0.9)
+    key = jax.random.key(1)
+    g_state = create_state(g_model, g_tx, key, jnp.zeros((2, LATENT)),
+                           train=False)
+    c_state = create_state(c_model, c_tx, key,
+                           jnp.zeros((2, SIZE, SIZE, 3)), train=False)
+    gt, ct = _torch_wgan_models(FM)
+    copy_weights_to_torch(g_state.params, gt.main, transpose_conv=True)
+    copy_weights_to_torch(c_state.params, ct.main, transpose_conv=False)
+
+    images = _store(16, seed=7)
+    idx = np.stack([(np.arange(B) + B * t) % 16 for t in range(N)])
+    k_data = jax.random.key(11)
+
+    step = make_wgan_step(g_model, c_model, g_tx, c_tx, latent_dim=LATENT,
+                          critic_iters=N_CRITIC, lambda_gp=LAMBDA,
+                          donate=False)
+    ours_d, ours_g = [], []
+    for t in range(N):
+        g_state, c_state, d_losses, g_loss = step(
+            g_state, c_state, jnp.asarray(images), jnp.asarray(idx[t]),
+            jax.random.fold_in(k_data, t))
+        ours_d.append(np.asarray(d_losses))
+        ours_g.append(float(g_loss))
+        if t == STATS_T - 1:
+            our_stats = jax.device_get((g_state.batch_stats,
+                                        c_state.batch_stats))
+
+    opt_c = torch.optim.Adam(ct.parameters(), lr=2e-4, betas=(0.5, 0.9))
+    opt_g = torch.optim.Adam(gt.parameters(), lr=2e-4, betas=(0.5, 0.9))
+    theirs_d, theirs_g = [], []
+    for t in range(N):
+        key_t = jax.random.fold_in(k_data, t)
+        k_flip, k_critic, k_g = jax.random.split(key_t, 3)
+        mask = np.asarray(jax.random.bernoulli(k_flip, 0.5, (B,)))
+        real = _nchw(_normalize(_flip(images[idx[t]], mask)))
+        critic_keys = jax.random.split(k_critic, N_CRITIC)
+
+        d_row = []
+        for key_i in critic_keys:
+            k_noise, k_alpha = jax.random.split(key_i)
+            noise = torch.from_numpy(np.asarray(
+                jax.random.normal(k_noise, (B, LATENT))).reshape(
+                    B, LATENT, 1, 1).copy())
+            alpha = torch.from_numpy(np.asarray(
+                jax.random.uniform(k_alpha, (B, 1, 1, 1), jnp.float32)))
+
+            ct.zero_grad()
+            d_real_loss = -ct(real).mean()
+            fake = gt(noise)
+            d_fake_loss = ct(fake.detach()).mean()
+            inter = (alpha * real + (1 - alpha) * fake.detach()
+                     ).requires_grad_(True)
+            d_inter = ct(inter)
+            grads = torch.autograd.grad(
+                outputs=d_inter, inputs=inter,
+                grad_outputs=torch.ones_like(d_inter),
+                create_graph=True, retain_graph=True, only_inputs=True)[0]
+            gp = LAMBDA * ((grads.view(B, -1).norm(2, dim=1) - 1) ** 2
+                           ).mean()
+            d_loss = d_real_loss + d_fake_loss + gp
+            d_loss.backward()
+            opt_c.step()
+            d_row.append(d_loss.item())
+        theirs_d.append(d_row)
+
+        gt.zero_grad()
+        noise = torch.from_numpy(np.asarray(
+            jax.random.normal(k_g, (B, LATENT))).reshape(
+                B, LATENT, 1, 1).copy())
+        g_loss = -ct(gt(noise)).mean()
+        g_loss.backward()
+        opt_g.step()
+        theirs_g.append(g_loss.item())
+        if t == STATS_T - 1:
+            torch_snap = (_torch_bn_snapshot(gt.main),
+                          _torch_bn_snapshot(ct.main))
+
+    # Measured: first-3-step deviation 9.5e-7 (the semantic pin — the GP
+    # double-backward and critic-loop ordering are exact before noise can
+    # compound), full-trajectory 7.4e-2 (Wasserstein losses are unbounded
+    # and the critic loop amplifies the benign Adam walk); 0.3 = ~4x.
+    _assert_traj("wgan d_losses", np.stack(ours_d), np.stack(theirs_d),
+                 atol=0.3, early_atol=1e-4)
+    _assert_traj("wgan g_loss", np.asarray(ours_g), np.asarray(theirs_g),
+                 atol=0.3, early_atol=1e-4)
+    c_drift = _param_drift(c_state.params, ct.main, False)
+    g_drift = _param_drift(g_state.params, gt.main, True)
+    print(f"[traj] wgan param drift c={c_drift:.3e} g={g_drift:.3e}")
+    assert c_drift < 2 * 2e-4 * N * N_CRITIC, c_drift  # Adam walk bound
+    assert g_drift < 2 * 2e-4 * N, g_drift
+    gs_drift = _stats_drift(our_stats[0], torch_snap[0])
+    cs_drift = _stats_drift(our_stats[1], torch_snap[1])
+    print(f"[traj] wgan stats drift c={cs_drift:.3e} g={gs_drift:.3e}")
+    assert cs_drift < 1e-2, cs_drift  # see _stats_drift docstring
+    assert gs_drift < 1e-2, gs_drift
+
+
+# ---------------------------------------------------------------------------
+# CGAN: 20 iterations with perceptual + feature-matching losses and the
+# adaptive D gate active metric-driven (epoch >= 5), train_cgan.py:156-193.
+# ---------------------------------------------------------------------------
+
+class _TorchVGGBlocks(tnn.Module):
+    """torchvision vgg16.features[:16] replica (train_cgan.py:57-73):
+    blocks [:4], [4:9], [9:16] -> (relu1_2, relu2_2, relu3_3)."""
+
+    def __init__(self):
+        super().__init__()
+        self.c11 = tnn.Conv2d(3, 64, 3, 1, 1)
+        self.c12 = tnn.Conv2d(64, 64, 3, 1, 1)
+        self.c21 = tnn.Conv2d(64, 128, 3, 1, 1)
+        self.c22 = tnn.Conv2d(128, 128, 3, 1, 1)
+        self.c31 = tnn.Conv2d(128, 256, 3, 1, 1)
+        self.c32 = tnn.Conv2d(256, 256, 3, 1, 1)
+        self.c33 = tnn.Conv2d(256, 256, 3, 1, 1)
+        self.pool = tnn.MaxPool2d(2, 2)
+
+    def forward(self, x):
+        r = torch.relu
+        x = r(self.c12(r(self.c11(x))))
+        f1 = x
+        x = r(self.c22(r(self.c21(self.pool(x)))))
+        f2 = x
+        x = r(self.c33(r(self.c32(r(self.c31(self.pool(x)))))))
+        return f1, f2, x
+
+
+def _copy_vgg(params, tm):
+    names = [("conv1_1", tm.c11), ("conv1_2", tm.c12), ("conv2_1", tm.c21),
+             ("conv2_2", tm.c22), ("conv3_1", tm.c31), ("conv3_2", tm.c32),
+             ("conv3_3", tm.c33)]
+    with torch.no_grad():
+        for name, conv in names:
+            conv.weight.copy_(torch.from_numpy(np.transpose(
+                np.asarray(params[f"{name}_kernel"]), (3, 2, 0, 1)).copy()))
+            conv.bias.copy_(torch.from_numpy(
+                np.asarray(params[f"{name}_bias"])))
+
+
+class _RefCGANDiscriminator(tnn.Module):
+    """Reference cgan.py:62-113 (7x7 init generalized to s0)."""
+
+    def __init__(self, nf, s0):
+        super().__init__()
+        self.label_emb = tnn.Embedding(2, nf * 8 * s0 * s0)
+        layers = [tnn.Conv2d(3, nf // 2, 4, 2, 1), tnn.LeakyReLU(0.2, True)]
+        for cin, cout in [(nf // 2, nf), (nf, nf * 2), (nf * 2, nf * 4),
+                          (nf * 4, nf * 8)]:
+            layers += [tnn.Conv2d(cin, cout, 4, 2, 1),
+                       tnn.BatchNorm2d(cout), tnn.LeakyReLU(0.2, True)]
+        layers += [tnn.Conv2d(nf * 8, 1, s0, 1, 0)]
+        self.main = tnn.Sequential(*layers)
+
+    def forward(self, x, labels):
+        for layer in self.main[:-1]:
+            x = layer(x)
+        proj = (self.label_emb(labels) * x.view(x.size(0), -1)).sum(
+            dim=1, keepdim=True)
+        out = self.main[-1](x).view(-1, 1)
+        return (out + proj).squeeze(1)
+
+    def features(self, x, labels):
+        feats = []
+        for layer in self.main[:-1]:
+            x = layer(x)
+            feats.append(x)
+        return feats
+
+
+def _copy_cgan_d(params, tm, nf, s0):
+    from xgan.models.pretrained import _chw_to_hwc_perm
+    convs = [m for m in tm.main if isinstance(m, tnn.Conv2d)]
+    bns = [m for m in tm.main if isinstance(m, tnn.BatchNorm2d)]
+    with torch.no_grad():
+        for i, conv in enumerate(convs):
+            p = params[f"Conv_{i}"]
+            conv.weight.copy_(torch.from_numpy(np.transpose(
+                np.asarray(p["kernel"]), (3, 2, 0, 1)).copy()))
+            conv.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+        for i, bn in enumerate(bns):
+            p = params[f"TorchBatchNorm_{i}"]
+            bn.weight.copy_(torch.from_numpy(np.asarray(p["scale"])))
+            bn.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+        # our projection embedding indexes the HWC-flattened feature map,
+        # torch's the CHW flatten: permute columns (cgan.py:103-106).
+        inv = np.argsort(_chw_to_hwc_perm(nf * 8, s0))
+        tm.label_emb.weight.copy_(torch.from_numpy(
+            np.asarray(params["label_emb"])[:, inv].copy()))
+
+
+def test_cgan_trajectory_matches_torch():
+    from tests.test_generator_pth import _RefCGANGenerator
+    from xgan.models import cgan
+    from xgan.models.pretrained import save_torch_cgan_generator
+    from xgan.models.vgg import VGG16Features
+    from xgan.train.cgan import make_cgan_step
+
+    # Gate forced open (epoch < 5): with these tiny models the
+    # metric-driven gate never actually closes within a short trajectory
+    # (D cannot reach D(x)>0.8 AND D(G(z))<0.2 against the noisy
+    # two-sided targets), and near-threshold seeds would make the test
+    # flaky. The CLOSED branch is pinned deterministically by
+    # tests/test_cgan.py::test_adaptive_gate_closes_when_d_confident.
+    N, EPOCH = 20, 0
+    g_model = cgan.Generator(latent_dim=LATENT, num_classes=2,
+                             feature_maps=FM, image_size=SIZE)
+    d_model = cgan.Discriminator(num_classes=2, feature_maps=FM,
+                                 image_size=SIZE)
+    vgg_model = VGG16Features()
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    key = jax.random.key(2)
+    g_state = create_state(g_model, g_tx, key, jnp.zeros((2, LATENT)),
+                           jnp.zeros((2,), jnp.int32), train=False)
+    d_state = create_state(d_model, d_tx, key,
+                           jnp.zeros((2, SIZE, SIZE, 3)),
+                           jnp.zeros((2,), jnp.int32), train=False)
+    vgg_params = vgg_model.init(
+        jax.random.key(3), jnp.zeros((1, SIZE, SIZE, 3)))["params"]
+
+    gt = _RefCGANGenerator(LATENT, 2, 3, FM, SIZE // 32)
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        save_torch_cgan_generator(f.name, g_state.params,
+                                  g_state.batch_stats)
+        gt.load_state_dict(torch.load(f.name, map_location="cpu",
+                                      weights_only=True))
+    dt = _RefCGANDiscriminator(FM, SIZE // 32)
+    _copy_cgan_d(d_state.params, dt, FM, SIZE // 32)
+    vt = _TorchVGGBlocks()
+    _copy_vgg(vgg_params, vt)
+    for p in vt.parameters():
+        p.requires_grad = False
+
+    images = _store(16, seed=13)
+    labels_all = (np.arange(16) % 2).astype(np.int32)
+    idx = np.stack([(np.arange(B) + B * t) % 16 for t in range(N)])
+    k_data = jax.random.key(17)
+
+    step = make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx,
+                          latent_dim=LATENT, donate=False)
+    ours = []
+    for t in range(N):
+        g_state, d_state, m = step(
+            g_state, d_state, vgg_params, jnp.asarray(images),
+            jnp.asarray(labels_all), jnp.asarray(idx[t]),
+            jnp.int32(EPOCH), jax.random.fold_in(k_data, t))
+        ours.append(np.asarray(m))
+        if t == STATS_T - 1:
+            our_stats = jax.device_get((g_state.batch_stats,
+                                        d_state.batch_stats))
+    ours = np.stack(ours)  # (N, 7): G, D, D_x, D_G_z1, D_G_z2, perc, fm
+
+    bcel = tnn.BCEWithLogitsLoss()
+    opt_d = torch.optim.Adam(dt.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_g = torch.optim.Adam(gt.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    theirs = []
+    for t in range(N):
+        key_t = jax.random.fold_in(k_data, t)
+        k_flip, k_noise, k_lab, k_rs, k_fs = jax.random.split(key_t, 5)
+        mask = np.asarray(jax.random.bernoulli(k_flip, 0.5, (B,)))
+        real = _nchw(_normalize(_flip(images[idx[t]], mask)))
+        real_labels = torch.from_numpy(
+            labels_all[idx[t]].astype(np.int64).copy())
+        real_smooth = torch.from_numpy(np.asarray(
+            0.9 - 0.1 * jax.random.uniform(k_rs, (B,))))
+        fake_smooth = torch.from_numpy(np.asarray(
+            0.1 + 0.1 * jax.random.uniform(k_fs, (B,))))
+        noise = torch.from_numpy(np.asarray(
+            jax.random.normal(k_noise, (B, LATENT))))
+        fake_labels = torch.from_numpy(np.asarray(
+            jax.random.randint(k_lab, (B,), 0, 2)).astype(np.int64))
+
+        dt.zero_grad()
+        out_real = dt(real, real_labels)
+        d_x = torch.sigmoid(out_real).mean().item()
+        err_d_real = bcel(out_real, real_smooth)
+        fake = gt(noise, fake_labels)
+        out_fake = dt(fake.detach(), fake_labels)
+        d_g_z1 = torch.sigmoid(out_fake).mean().item()
+        err_d = err_d_real + bcel(out_fake, fake_smooth)
+        if d_x < 0.8 or d_g_z1 > 0.2 or EPOCH < 5:
+            err_d.backward()
+            opt_d.step()
+
+        gt.zero_grad()
+        out_fake2 = dt(fake, fake_labels)
+        d_g_z2 = torch.sigmoid(out_fake2).mean().item()
+        err_adv = bcel(out_fake2, real_smooth)
+        f_f, f_r = vt(fake), vt(real)
+        perc = sum(torch.mean((a - b) ** 2) for a, b in zip(f_f, f_r))
+        fm = sum(torch.mean((a - b) ** 2) for a, b in zip(
+            dt.features(real, real_labels), dt.features(fake, fake_labels)))
+        err_g = err_adv + 10.0 * perc + 5.0 * fm
+        err_g.backward()
+        opt_g.step()
+        theirs.append([err_g.item(), err_d.item(), d_x, d_g_z1, d_g_z2,
+                       perc.item(), fm.item()])
+        if t == STATS_T - 1:
+            torch_snap = (_torch_bn_snapshot(gt.main),
+                          _torch_bn_snapshot(dt.main))
+    theirs = np.stack(theirs)
+
+    # loss_G here is O(100): the 10x-weighted perceptual term over
+    # random VGG features dominates (the reference's ImageNet-VGG runs at
+    # the same scale). Measured: first-3 deviation 1.9e-2 (~2e-4 relative
+    # — the fm/perc weights amplify f32 conv noise), full trajectory 1.8
+    # (~2% relative, chaos-amplified); 0.1 / 5.0 keep ~5x/~3x margins.
+    _assert_traj("cgan metrics", ours, theirs, atol=5.0,
+                 early_atol=0.1)
+    g_drift = _param_drift(g_state.params, gt.main, False)
+    d_drift = _param_drift(d_state.params, dt.main, False)
+    print(f"[traj] cgan param drift g={g_drift:.3e} d={d_drift:.3e}")
+    assert g_drift < 2 * 2e-4 * N, g_drift  # Adam walk bound (see dcgan)
+    assert d_drift < 2 * 2e-4 * N, d_drift
+    # D running stats are NOT compared: our single features=True pass
+    # advances D BN stats 4x per iteration vs the reference's 5 trunk
+    # passes (forward + get_intermediate_features x2) — a documented
+    # deviation (xgan/models/cgan.py docstring); CGAN D running stats are
+    # never consumed by any consumer on either side. G stats compare with
+    # eps=1e-2: the fc-fed BN means are O(1e-3) so the default relative
+    # metric inflates absolute ~1e-4 noise. Measured 1.1e-2.
+    gs_drift = _stats_drift(our_stats[0], torch_snap[0], eps=1e-2)
+    print(f"[traj] cgan stats drift g={gs_drift:.3e}")
+    assert gs_drift < 1e-1, gs_drift
+
+
+# ---------------------------------------------------------------------------
+# Classifier: 12 iterations of frozen-base ResNet-50 fine-tuning
+# (train_classifier.py:136-166; frozen base = reference default).
+# ---------------------------------------------------------------------------
+
+def test_classifier_trajectory_matches_torch():
+    from tests.test_resnet_parity import TorchResNet50
+    from xgan.models.pretrained import save_torch_resnet50
+    from xgan.models.resnet import ResNet50
+    from xgan.train.classifier import classifier_optimizer, make_train_step
+
+    N = 12
+    model = ResNet50(num_classes=2)
+    tx = classifier_optimizer(1e-3, freeze_base=True)
+    variables = model.init(jax.random.key(4),
+                           jnp.zeros((2, SIZE, SIZE, 3)), train=False)
+    from xgan.train.common import ModelState
+    state = ModelState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+
+    tm = TorchResNet50(num_classes=2)
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        save_torch_resnet50(f.name, state.params, state.batch_stats)
+        tm.load_state_dict(torch.load(f.name, map_location="cpu",
+                                      weights_only=True))
+    # frozen base: only fc trains, but train-mode BN stats still advance
+    # (classifier.py:28-37 mirrors torch requires_grad=False semantics)
+    for name, p in tm.named_parameters():
+        p.requires_grad = name.startswith("fc.")
+
+    images = _store(16, seed=23)
+    labels_all = (np.arange(16) % 2).astype(np.int32)
+    idx = np.stack([(np.arange(B) + B * t) % 16 for t in range(N)])
+    k_data = jax.random.key(29)
+
+    step = make_train_step(model, tx, mode="real")
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.uint8)
+    dummy_labels = jnp.zeros((1,), jnp.int32)
+    ours_loss, ours_preds = [], []
+    for t in range(N):
+        state, losses, preds, _ = step(
+            state, jnp.asarray(images), jnp.asarray(labels_all), dummy,
+            dummy_labels, jnp.asarray(idx[t]), jnp.float32(0.0),
+            jax.random.fold_in(k_data, t))
+        ours_loss.append(float(jnp.mean(losses)))
+        ours_preds.append(np.asarray(preds))
+
+    ce = tnn.CrossEntropyLoss()
+    opt = torch.optim.Adam([p for p in tm.parameters() if p.requires_grad],
+                           lr=1e-3)
+    tm.train()
+    theirs_loss, theirs_preds = [], []
+    for t in range(N):
+        key_t = jax.random.fold_in(k_data, t)
+        _, k_flip = jax.random.split(key_t)
+        mask = np.asarray(jax.random.bernoulli(k_flip, 0.5, (B,)))
+        x = _nchw(_normalize(_flip(images[idx[t]], mask)))
+        y = torch.from_numpy(labels_all[idx[t]].astype(np.int64).copy())
+        opt.zero_grad()
+        logits = tm(x)
+        loss = ce(logits, y)
+        loss.backward()
+        opt.step()
+        theirs_loss.append(loss.item())
+        theirs_preds.append(logits.argmax(1).numpy())
+
+    # Measured max loss deviation 2.8e-3 across 12 frozen-base steps;
+    # 2e-2 keeps ~7x margin. Predictions must agree exactly (argmax of
+    # well-separated random-init logits).
+    _assert_traj("classifier loss", np.asarray(ours_loss),
+                 np.asarray(theirs_loss), atol=2e-2)
+    assert np.array_equal(np.stack(ours_preds), np.stack(theirs_preds))
+    # fc is the only trained tensor; compare its full trajectory endpoint.
+    fc_drift = max(
+        float(np.max(np.abs(np.asarray(state.params["fc"]["kernel"])
+                            - np.transpose(
+                                tm.fc.weight.detach().numpy(), (1, 0))))),
+        float(np.max(np.abs(np.asarray(state.params["fc"]["bias"])
+                            - tm.fc.bias.detach().numpy()))))
+    print(f"[traj] classifier fc drift {fc_drift:.3e}")
+    assert fc_drift < 2 * 1e-3 * N, fc_drift  # Adam walk bound (see dcgan)

@@ -41,8 +41,9 @@ class Generator(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, z, labels, *, train: bool):
-        """z: (B, latent); labels: (B,) int -> images (B, S, S, C)."""
+    def __call__(self, z, labels, *, train: bool, mask=None):
+        """z: (B, latent); labels: (B,) int -> images (B, S, S, C).
+        ``mask``: (B,) validity weights for tail-exact BN statistics."""
         assert self.image_size % 32 == 0
         s0 = self.image_size // 32
         nf = self.feature_maps
@@ -53,14 +54,14 @@ class Generator(nn.Module):
         x = Dense(nf * 8 * s0 * s0, dtype=self.dtype)(x)
         x = x.reshape(x.shape[0], s0, s0, nf * 8)
 
-        x = TorchBatchNorm()(x, train=train)
+        x = TorchBatchNorm()(x, train=train, mask=mask)
         x = nn.relu(x)
         widths = [nf * 4, nf * 2, nf, nf // 2]
         for w in widths:
             x = upsample_nearest_2x(x)
             x = Conv(w, kernel=3, stride=1, padding=1, use_bias=True,
                      torch_bias=True, dtype=self.dtype)(x)
-            x = TorchBatchNorm()(x, train=train)
+            x = TorchBatchNorm()(x, train=train, mask=mask)
             x = nn.relu(x)
         x = upsample_nearest_2x(x)
         x = Conv(self.num_channels, kernel=3, stride=1, padding=1,
@@ -76,7 +77,8 @@ class Discriminator(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, labels, *, train: bool, features: bool = False):
+    def __call__(self, x, labels, *, train: bool, features: bool = False,
+                 mask=None):
         """x: (B, S, S, C), labels: (B,) int.
 
         Returns logits (B,), or ``(logits, feats)`` when ``features=True``
@@ -86,26 +88,34 @@ class Discriminator(nn.Module):
         pass yields both — same values, one less forward (the only
         observable difference is one fewer BN running-stat update per
         batch, and CGAN's discriminator running stats are never consumed).
+
+        Feature CONTENT quirk, preserved exactly: the reference's trunk
+        uses ``LeakyReLU(0.2, inplace=True)`` (cgan.py:71-90) and appends
+        each layer's output tensor as it goes (:96-99, :108-113) — the
+        in-place activation then MUTATES the conv/BN tensor already in
+        the list. The reference's effective feature list is therefore
+        [lrelu0, lrelu0] + per block [conv_i, lrelu_i, lrelu_i]: the
+        first conv's and every BN's entry alias the following LeakyReLU
+        output (BN itself is out-of-place, so the block conv entries
+        survive). Matching this is load-bearing for feature-matching-loss
+        parity (tests/test_torch_trajectory.py measured a 1.7x fm
+        difference against true pre-activations).
         """
         assert self.image_size % 32 == 0
         s0 = self.image_size // 32
         nf = self.feature_maps
         feats = []
 
-        def track(t):
-            feats.append(t)
-            return t
-
-        h = track(Conv(nf // 2, kernel=4, stride=2, padding=1, use_bias=True,
-                       torch_bias=True, phase_grad=True,
-                       dtype=self.dtype)(x))
-        h = track(leaky_relu(h))
+        h = Conv(nf // 2, kernel=4, stride=2, padding=1, use_bias=True,
+                 torch_bias=True, phase_grad=True, dtype=self.dtype)(x)
+        h = leaky_relu(h)
+        feats += [h, h]  # conv0's entry was mutated into lrelu0
         for w in [nf, nf * 2, nf * 4, nf * 8]:
-            h = track(Conv(w, kernel=4, stride=2, padding=1, use_bias=True,
-                           torch_bias=True, phase_grad=True,
-                           dtype=self.dtype)(h))
-            h = track(TorchBatchNorm()(h, train=train))
-            h = track(leaky_relu(h))
+            c = Conv(w, kernel=4, stride=2, padding=1, use_bias=True,
+                     torch_bias=True, phase_grad=True, dtype=self.dtype)(h)
+            h = TorchBatchNorm()(c, train=train, mask=mask)
+            h = leaky_relu(h)
+            feats += [c, h, h]  # BN's entry was mutated into lrelu_i
 
         # Projection: label embedding dotted with the flattened final
         # feature map (reference cgan.py:67,:103-106). The flatten order
