@@ -133,12 +133,12 @@ def test_classifier_cv_end_to_end(fake_dataset, tmp_path, strategy):
 
 
 def test_wraparound_padding_excluded_from_metrics(fake_dataset, tmp_path):
-    """Non-multiple batch size (n=24 train rows at most, batch 16): the
-    tail batch wraps duplicate rows for static shapes, and the reported
-    per-epoch metrics must cover exactly the n real rows — the padded
-    duplicates influence gradients only (documented deviation,
-    README known-deviations; VERDICT r1 weak #7 wanted a non-multiple
-    test pinning the metrics path)."""
+    """Non-multiple batch size: the tail batch wraps duplicate rows for
+    static shapes, and the reported per-epoch metrics must cover exactly
+    the n real rows. (Since round 3 the padded duplicates are also
+    excluded from gradients/BN via the tail mask — tests/test_tail_exact
+    pins that; this test pins the metrics path and that the mask is
+    handed to the step for exactly the final batch.)"""
     import jax
     from xgan.data.pipeline import epoch_batches
     from xgan.train.classifier_loop import _epoch_pass
@@ -157,8 +157,12 @@ def test_wraparound_padding_excluded_from_metrics(fake_dataset, tmp_path):
 
     seen = []
 
-    def fake_step(state, r_img, r_lab, s_img, s_lab, idx, ratio, key):
+    masks = []
+
+    def fake_step(state, r_img, r_lab, s_img, s_lab, idx, ratio, key,
+                  mask=None):
         seen.append(np.asarray(idx))
+        masks.append(None if mask is None else np.asarray(mask))
         # per-sample loss = the sample's index value; preds==labels
         losses = jnp.take(r_img, idx).astype(jnp.float32)
         labels = jnp.take(r_lab, idx)
@@ -169,7 +173,10 @@ def test_wraparound_padding_excluded_from_metrics(fake_dataset, tmp_path):
     # mean over exactly the n real rows: indices 0..n-1 each once
     assert abs(loss - np.arange(n).mean()) < 1e-6
     assert acc == 1.0
-    assert sum(s.size for s in seen) == 24  # gradients DID see 3 dups
+    assert sum(s.size for s in seen) == 24  # static shapes: dups present
+    # the tail mask arrives on exactly the final batch, zeroing the dups
+    assert masks[0] is None and masks[1] is None
+    np.testing.assert_array_equal(masks[2], [1, 1, 1, 1, 1, 0, 0, 0])
 
 
 def test_empty_synthetic_dir_fallback(fake_dataset, tmp_path):

@@ -35,8 +35,12 @@ class Generator(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, z, *, train: bool):
-        """z: (B, latent_dim) -> images (B, S, S, C) in [-1, 1] (tanh)."""
+    def __call__(self, z, *, train: bool, mask=None):
+        """z: (B, latent_dim) -> images (B, S, S, C) in [-1, 1] (tanh).
+
+        ``mask``: (B,) validity weights for exact short-tail-batch BN
+        statistics (see xgan/ops/norm.py); outputs at masked rows are
+        garbage by contract."""
         assert self.image_size % 32 == 0, "image_size must be a multiple of 32"
         s0 = self.image_size // 32
         fg = self.feature_maps
@@ -45,12 +49,12 @@ class Generator(nn.Module):
 
         x = ConvTranspose(widths[0], kernel=s0, stride=1, padding=0,
                           dtype=self.dtype)(x)
-        x = TorchBatchNorm()(x, train=train)
+        x = TorchBatchNorm()(x, train=train, mask=mask)
         x = nn.relu(x)
         for w in widths[1:]:
             x = ConvTranspose(w, kernel=4, stride=2, padding=1,
                               dtype=self.dtype)(x)
-            x = TorchBatchNorm()(x, train=train)
+            x = TorchBatchNorm()(x, train=train, mask=mask)
             x = nn.relu(x)
         x = ConvTranspose(self.num_channels, kernel=4, stride=2, padding=1,
                           dtype=self.dtype)(x)
@@ -64,8 +68,11 @@ class Discriminator(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
-        """x: (B, S, S, C) -> logits (B,). Apply sigmoid for D(x) probs."""
+    def __call__(self, x, *, train: bool, mask=None):
+        """x: (B, S, S, C) -> logits (B,). Apply sigmoid for D(x) probs.
+
+        ``mask`` as in Generator: masked rows are excluded from BN batch
+        statistics; their logits are garbage by contract."""
         assert self.image_size % 32 == 0
         s0 = self.image_size // 32
         fd = self.feature_maps
@@ -77,7 +84,7 @@ class Discriminator(nn.Module):
         for w in widths[1:]:
             x = Conv(w, kernel=4, stride=2, padding=1, phase_grad=True,
                      dtype=self.dtype)(x)
-            x = TorchBatchNorm()(x, train=train)
+            x = TorchBatchNorm()(x, train=train, mask=mask)
             x = leaky_relu(x)
         x = Conv(1, kernel=s0, stride=1, padding=0, dtype=self.dtype)(x)
         return x.astype(jnp.float32).reshape(x.shape[0])

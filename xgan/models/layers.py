@@ -158,7 +158,10 @@ class TorchBatchNorm(nn.Module):
     scale_init: Callable = None  # defaults to N(1, 0.02)
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, mask=None):
+        """``mask``: optional (B,) sample-validity weights; train-mode
+        statistics then cover only the valid rows — the exact semantics
+        of the reference's smaller final batch (see xgan/ops/norm.py)."""
         c = x.shape[-1]
         scale_init = self.scale_init or gan_bn_scale_init()
         scale = self.param("scale", scale_init, (c,))
@@ -170,7 +173,7 @@ class TorchBatchNorm(nn.Module):
         if train:
             y, new_mean, new_var = batch_norm_train(
                 x, scale, bias, ra_mean.value, ra_var.value,
-                momentum=self.momentum, eps=self.eps)
+                momentum=self.momentum, eps=self.eps, mask=mask)
             if not self.is_initializing():
                 ra_mean.value = new_mean
                 ra_var.value = new_var

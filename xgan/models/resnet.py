@@ -39,14 +39,14 @@ class _ConvBN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, mask=None):
         w = self.param("kernel", _he_fan_out,
                        (self.kernel, self.kernel, x.shape[-1], self.features))
         y = conv2d(x.astype(self.dtype), w.astype(self.dtype),
                    stride=self.stride, padding=self.padding,
                    preferred_dtype=jnp.float32).astype(self.dtype)
         y = TorchBatchNorm(scale_init=nn.initializers.ones, name="bn")(
-            y, train=train)
+            y, train=train, mask=mask)
         return y
 
 
@@ -57,18 +57,19 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, mask=None):
         identity = x
         out = nn.relu(_ConvBN(self.width, 1, dtype=self.dtype,
-                              name="conv1")(x, train=train))
+                              name="conv1")(x, train=train, mask=mask))
         out = nn.relu(_ConvBN(self.width, 3, stride=self.stride, padding=1,
-                              dtype=self.dtype, name="conv2")(out, train=train))
+                              dtype=self.dtype, name="conv2")(
+                                  out, train=train, mask=mask))
         out = _ConvBN(self.width * 4, 1, dtype=self.dtype,
-                      name="conv3")(out, train=train)
+                      name="conv3")(out, train=train, mask=mask)
         if self.downsample:
             identity = _ConvBN(self.width * 4, 1, stride=self.stride,
                                dtype=self.dtype, name="downsample")(
-                                   x, train=train)
+                                   x, train=train, mask=mask)
         return nn.relu(out + identity)
 
 
@@ -78,16 +79,18 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
 
     @nn.compact
-    def __call__(self, x, *, train: bool, return_features: bool = False):
+    def __call__(self, x, *, train: bool, return_features: bool = False,
+                 mask=None):
         """x: (B, H, W, 3) -> logits (B, num_classes).
 
         ``return_features=True`` additionally returns the layer4 output
         (B, H/32, W/32, 2048) used by Grad-CAM (reference
         analyze_results.py:466 targets model.layer4[-1].conv3; we expose the
         post-activation stage output, the standard CAM target map).
+        ``mask``: (B,) validity weights for tail-exact BN statistics.
         """
         x = nn.relu(_ConvBN(64, 7, stride=2, padding=3, dtype=self.dtype,
-                            name="stem")(x, train=train))
+                            name="stem")(x, train=train, mask=mask))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
@@ -96,7 +99,8 @@ class ResNet50(nn.Module):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 x = Bottleneck(width, stride=stride, downsample=(b == 0),
                                dtype=self.dtype,
-                               name=f"layer{stage + 1}_{b}")(x, train=train)
+                               name=f"layer{stage + 1}_{b}")(
+                                   x, train=train, mask=mask)
         features = x
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         logits = Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)

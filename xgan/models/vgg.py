@@ -58,12 +58,20 @@ class VGG16Features(nn.Module):
         return f1, f2, f3
 
 
-def perceptual_loss(vgg_apply, vgg_params, x, y):
-    """Sum of per-block MSEs, as in reference train_cgan.py:66-73."""
+def perceptual_loss(vgg_apply, vgg_params, x, y, weights=None):
+    """Sum of per-block MSEs, as in reference train_cgan.py:66-73.
+    ``weights``: optional (B,) validity weights — each block's mean then
+    covers only valid rows (tail-exact smaller final batch)."""
     fx = vgg_apply(vgg_params, x)
     fy = vgg_apply(vgg_params, y)
     total = 0.0
     for a, b in zip(fx, fy):
-        total = total + jnp.mean(
-            jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        d = a.astype(jnp.float32) - b.astype(jnp.float32)
+        if weights is None:
+            total = total + jnp.mean(jnp.square(d))
+        else:
+            per_sample = jnp.mean(jnp.square(d).reshape(d.shape[0], -1),
+                                  axis=1)
+            w = weights.astype(jnp.float32)
+            total = total + jnp.sum(per_sample * w) / jnp.sum(w)
     return total

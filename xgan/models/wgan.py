@@ -32,7 +32,9 @@ class Generator(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, z, *, train: bool):
+    def __call__(self, z, *, train: bool, mask=None):
+        """``mask``: (B,) validity weights for exact short-tail-batch BN
+        statistics (xgan/ops/norm.py)."""
         assert self.image_size % 32 == 0
         s0 = self.image_size // 32
         fg = self.feature_maps
@@ -41,12 +43,12 @@ class Generator(nn.Module):
 
         x = ConvTranspose(widths[0], kernel=s0, stride=1, padding=0,
                           dtype=self.dtype)(x)
-        x = TorchBatchNorm()(x, train=train)
+        x = TorchBatchNorm()(x, train=train, mask=mask)
         x = nn.relu(x)
         for w in widths[1:]:
             x = ConvTranspose(w, kernel=4, stride=2, padding=1,
                               dtype=self.dtype)(x)
-            x = TorchBatchNorm()(x, train=train)
+            x = TorchBatchNorm()(x, train=train, mask=mask)
             x = nn.relu(x)
         x = ConvTranspose(self.num_channels, kernel=4, stride=2, padding=1,
                           dtype=self.dtype)(x)
@@ -61,7 +63,7 @@ class Critic(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, mask=None):
         assert self.image_size % 32 == 0
         s0 = self.image_size // 32
         fd = self.feature_maps
@@ -72,7 +74,7 @@ class Critic(nn.Module):
         x = leaky_relu(x)
         for w in widths[1:]:
             x = Conv(w, kernel=4, stride=2, padding=1, dtype=self.dtype)(x)
-            x = TorchBatchNorm()(x, train=train)
+            x = TorchBatchNorm()(x, train=train, mask=mask)
             x = leaky_relu(x)
         # After 4 stride-2 convs: S/16 spatial (14 at 224). k=S0 valid conv
         # then spatial mean — mirrors reference wggan.py:63-70 exactly.

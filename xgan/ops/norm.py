@@ -13,6 +13,15 @@ batch axis is a global reduction, so this is cross-replica sync-BN — a
 deliberate upgrade over per-device BN (documented in SURVEY.md §7 hard part
 No.2): statistics are identical to the reference's single-device run.
 
+``mask`` (a (B,) 0/1 sample-validity vector) makes the statistics those of
+the torch run's SMALLER final batch: the reference DataLoader's last batch
+per epoch has B_t = N mod B rows (drop_last=False,
+reference data_loader.py:189-197), while our batches are wrap-padded to a
+static shape (pipeline.epoch_batches). Masked rows contribute nothing to
+the batch mean/var or the running-stat update; they are still normalized
+(with the masked statistics) so shapes stay static — their outputs are
+garbage by contract and every downstream loss masks them too.
+
 Statistics are always computed in float32 even when activations are bf16.
 """
 from __future__ import annotations
@@ -21,21 +30,33 @@ import jax.numpy as jnp
 
 
 def batch_norm_train(x, scale, bias, running_mean, running_var, *,
-                     momentum: float = 0.1, eps: float = 1e-5):
+                     momentum: float = 0.1, eps: float = 1e-5, mask=None):
     """Train-mode BN over a NHWC (or N...C) tensor.
 
     Returns (y, new_running_mean, new_running_var); y has x.dtype.
+    ``mask``: optional (B,) validity weights (see module docstring).
     """
     x32 = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
-    mean = jnp.mean(x32, axis=axes)
-    var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+    if mask is None:
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+        n = 1
+        for a in axes:
+            n *= x.shape[a]
+        n = jnp.float32(n)
+    else:
+        w = mask.astype(jnp.float32).reshape(
+            (x.shape[0],) + (1,) * (x.ndim - 1))
+        spatial = 1
+        for a in axes[1:]:
+            spatial *= x.shape[a]
+        n = jnp.sum(w) * spatial  # valid elements per channel
+        mean = jnp.sum(x32 * w, axis=axes) / n
+        var = jnp.sum(jnp.square(x32) * w, axis=axes) / n - jnp.square(mean)
     var = jnp.maximum(var, 0.0)
 
-    n = 1
-    for a in axes:
-        n *= x.shape[a]
-    unbiased = var * (n / max(n - 1, 1))
+    unbiased = var * (n / jnp.maximum(n - 1, 1))
     new_mean = (1.0 - momentum) * running_mean + momentum * mean
     new_var = (1.0 - momentum) * running_var + momentum * unbiased
 

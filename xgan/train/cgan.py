@@ -25,24 +25,33 @@ import optax
 
 from xgan.data.pipeline import gather_preprocess
 from xgan.models.vgg import perceptual_loss
-from xgan.train.common import ModelState, apply_updates
+from xgan.train.common import ModelState, apply_updates, weighted_mean
 
 PERCEPTUAL_WEIGHT = 10.0
 FM_WEIGHT = 5.0
 NUM_CLASSES = 2
 
 
-def _bce_per_target(logits, targets):
-    return jnp.mean(optax.sigmoid_binary_cross_entropy(
-        logits.astype(jnp.float32), targets))
+def _bce_per_target(logits, targets, weights=None):
+    return weighted_mean(optax.sigmoid_binary_cross_entropy(
+        logits.astype(jnp.float32), targets), weights)
 
 
-def feature_matching_loss(real_feats, fake_feats):
-    """Sum of per-layer MSEs (reference train_cgan.py:75-76)."""
+def _per_sample_mse(a, b):
+    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+    return jnp.mean(jnp.square(d).reshape(d.shape[0], -1), axis=1)
+
+
+def feature_matching_loss(real_feats, fake_feats, weights=None):
+    """Sum of per-layer MSEs (reference train_cgan.py:75-76); ``weights``
+    (B,) restricts each layer's mean to valid rows (tail exactness)."""
     total = 0.0
     for a, b in zip(real_feats, fake_feats):
-        total = total + jnp.mean(jnp.square(
-            a.astype(jnp.float32) - b.astype(jnp.float32)))
+        if weights is None:
+            total = total + jnp.mean(jnp.square(
+                a.astype(jnp.float32) - b.astype(jnp.float32)))
+        else:
+            total = total + weighted_mean(_per_sample_mse(a, b), weights)
     return total
 
 
@@ -62,7 +71,10 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
     epoch loop (see make_dcgan_step)."""
 
     def step(g_state: ModelState, d_state: ModelState, vgg_params,
-             images_u8, labels_all, idx, epoch, key):
+             images_u8, labels_all, idx, epoch, key, mask=None):
+        # ``mask`` (None or (B,) 0/1 float): tail-exact semantics for the
+        # wrap-padded final batch — see make_dcgan_step.
+        mkw = {} if mask is None else {"mask": mask}
         k_flip, k_noise, k_lab, k_rs, k_fs = jax.random.split(key, 5)
         real = gather_preprocess(images_u8, idx, k_flip, train=True,
                                  dtype=dtype, batch_sharding=batch_sharding)
@@ -78,7 +90,8 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
         def g_forward(g_params):
             fake, upd = g_model.apply(
                 {"params": g_params, "batch_stats": g_state.batch_stats},
-                noise, fake_labels, train=True, mutable=["batch_stats"])
+                noise, fake_labels, train=True,
+                mutable=["batch_stats"], **mkw)
             return fake, upd["batch_stats"]
 
         fake, g_vjp, g_stats_new = jax.vjp(g_forward, g_state.params,
@@ -88,14 +101,16 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
         def d_loss_fn(d_params):
             logits_real, upd1 = d_model.apply(
                 {"params": d_params, "batch_stats": d_state.batch_stats},
-                real, real_labels, train=True, mutable=["batch_stats"])
+                real, real_labels, train=True,
+                mutable=["batch_stats"], **mkw)
             logits_fake, upd2 = d_model.apply(
                 {"params": d_params, "batch_stats": upd1["batch_stats"]},
-                fake, fake_labels, train=True, mutable=["batch_stats"])
-            loss = (_bce_per_target(logits_real, real_targets)
-                    + _bce_per_target(logits_fake, fake_targets))
-            d_x = jnp.mean(jax.nn.sigmoid(logits_real))
-            d_g_z1 = jnp.mean(jax.nn.sigmoid(logits_fake))
+                fake, fake_labels, train=True,
+                mutable=["batch_stats"], **mkw)
+            loss = (_bce_per_target(logits_real, real_targets, mask)
+                    + _bce_per_target(logits_fake, fake_targets, mask))
+            d_x = weighted_mean(jax.nn.sigmoid(logits_real), mask)
+            d_g_z1 = weighted_mean(jax.nn.sigmoid(logits_fake), mask)
             return loss, (upd2["batch_stats"], d_x, d_g_z1)
 
         (loss_d, (d_stats2, d_x, d_g_z1)), d_grads = jax.value_and_grad(
@@ -115,19 +130,19 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
                 {"params": d_state.params,
                  "batch_stats": d_state.batch_stats},
                 fake_images, fake_labels, train=True, features=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], **mkw)
             (_, real_feats), upd4 = d_model.apply(
                 {"params": d_state.params,
                  "batch_stats": upd3["batch_stats"]},
                 real, real_labels, train=True, features=True,
-                mutable=["batch_stats"])
-            adv = _bce_per_target(logits, real_targets)
+                mutable=["batch_stats"], **mkw)
+            adv = _bce_per_target(logits, real_targets, mask)
             perc = perceptual_loss(
                 lambda p, x: vgg_model.apply({"params": p}, x),
-                vgg_params, fake_images, real)
-            fm = feature_matching_loss(real_feats, fake_feats)
+                vgg_params, fake_images, real, weights=mask)
+            fm = feature_matching_loss(real_feats, fake_feats, mask)
             loss = adv + PERCEPTUAL_WEIGHT * perc + FM_WEIGHT * fm
-            d_g_z2 = jnp.mean(jax.nn.sigmoid(logits))
+            d_g_z2 = weighted_mean(jax.nn.sigmoid(logits), mask)
             return loss, (upd4["batch_stats"], d_g_z2, perc, fm)
 
         (loss_g, (d_stats4, d_g_z2, perc, fm)), fake_grad = \

@@ -34,8 +34,9 @@ from xgan.parallel import create_mesh
 from xgan.train.cgan import make_cgan_step
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
-from xgan.train.loop_common import grid_iters, replay_data_rng, \
-    export_generator_pth, resume_history, trace_epoch
+from xgan.train.loop_common import batch_tail_mask, grid_iters, \
+    EpochProgress, export_generator_pth, replay_data_rng, \
+    resume_history, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -156,6 +157,8 @@ def train_cgan(args):
         if args.limit_batches:
             batches = batches[:args.limit_batches]
         num_batches = batches.shape[0]
+        t_mask = batch_tail_mask(len(store), num_batches, batch_size)
+        chunkable = num_batches - (1 if t_mask is not None else 0)
         epoch_metrics = []
 
         # Optional XLA profiler capture (first post-compile epoch, or the
@@ -165,10 +168,11 @@ def train_cgan(args):
                 if (getattr(args, "trace_dir", "")
                     and epoch == trace_epoch(start_epoch, args.epochs))
                 else None):
+            progress = EpochProgress(epoch, args.epochs, num_batches)
             i = 0
             while i < num_batches:
                 chunk = (k_steps if (multi_fn is not None
-                                     and i + k_steps <= num_batches) else 1)
+                                     and i + k_steps <= chunkable) else 1)
                 if chunk > 1:
                     g_state, d_state, metrics = multi_fn(
                         g_state, d_state, vgg_params, device_store.images,
@@ -176,10 +180,13 @@ def train_cgan(args):
                         jnp.asarray(batches[i:i + chunk]),
                         jnp.int32(epoch), jnp.int32(iters), k_data)
                 else:
+                    is_tail = (t_mask is not None
+                               and i == num_batches - 1)
                     g_state, d_state, metrics = step_fn(
                         g_state, d_state, vgg_params, device_store.images,
                         device_store.labels, jnp.asarray(batches[i]),
-                        jnp.int32(epoch), jax.random.fold_in(k_data, iters))
+                        jnp.int32(epoch), jax.random.fold_in(k_data, iters),
+                        mask=jnp.asarray(t_mask) if is_tail else None)
                 epoch_metrics.append(metrics)
 
                 for t in grid_iters(iters, chunk, args.save_interval,
@@ -190,9 +197,11 @@ def train_cgan(args):
                                    f"iter_{t:06d}.png"))
                 iters += chunk
                 i += chunk
+                progress.update(i)
 
             em = np.asarray(jax.device_get(jnp.concatenate(
                 [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
+        progress.close()
         timer.tick(num_batches)
         history["G_losses_iter"].extend(em[:, 0].tolist())
         history["D_losses_iter"].extend(em[:, 1].tolist())

@@ -22,7 +22,7 @@ import optax
 
 from xgan.data.mixer import mix_batch
 from xgan.data.pipeline import normalize_images, random_flip
-from xgan.train.common import ModelState, apply_updates
+from xgan.train.common import ModelState, apply_updates, weighted_mean
 
 
 def classifier_optimizer(lr: float, freeze_base: bool):
@@ -44,7 +44,8 @@ def softmax_ce(logits, labels):
 
 
 def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
-                  *, use_pallas: bool = False, sharding=None):
+                  *, use_pallas: bool = False, sharding=None,
+                  pallas_interpret: bool = False):
     """Virtual ConcatDataset gather: idx < n_real -> real, else synthetic.
 
     Mirrors ConcatDataset([real_subset, synthetic]) ordering
@@ -61,7 +62,8 @@ def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
         from xgan.ops.pallas.gather import mixed_gather_spmd
         imgs = mixed_gather_spmd(real_u8, synth_u8, r_idx, s_idx,
                                  jnp.logical_not(is_real),
-                                 sharding=sharding)
+                                 sharding=sharding,
+                                 interpret=pallas_interpret)
     else:
         imgs = jnp.where(is_real[:, None, None, None],
                          jnp.take(real_u8, r_idx, axis=0),
@@ -73,7 +75,8 @@ def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
 
 def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
                     batch_sharding=None, use_pallas_gather: bool = False,
-                    jit_compile: bool = True, pooled_synth: bool = False):
+                    jit_compile: bool = True, pooled_synth: bool = False,
+                    pallas_interpret: bool = False):
     """mode: 'real' | 'concat' | 'mix'.
 
     step(state, real_u8, real_labels, synth_u8, synth_labels, idx, ratio,
@@ -99,19 +102,28 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
             imgs, labels = gather_concat(real_u8, real_labels, synth_u8,
                                          synth_labels, idx,
                                          use_pallas=use_pallas_gather,
-                                         sharding=batch_sharding)
+                                         sharding=batch_sharding,
+                                         pallas_interpret=pallas_interpret)
         elif mode == "mix":
             imgs, labels = mix_batch(real_u8, real_labels, idx, synth_u8,
                                      synth_labels, ratio, key,
                                      synth_pool=synth_pool,
                                      use_pallas=use_pallas_gather,
-                                     sharding=batch_sharding)
+                                     sharding=batch_sharding,
+                                     pallas_interpret=pallas_interpret)
         else:
             raise ValueError(mode)
         return imgs, labels
 
     def step(state: ModelState, real_u8, real_labels, synth_u8,
-             synth_labels, *rest):
+             synth_labels, *rest, mask=None):
+        # ``mask`` (None or (B,) 0/1 float): tail-exact semantics — the
+        # wrap-padded rows of a short final batch are excluded from the
+        # gradient's loss mean and from BN batch statistics, reproducing
+        # the reference DataLoader's smaller last batch
+        # (data_loader.py:189-197). Per-sample losses/preds still cover
+        # all rows; the epoch loops already drop padded rows from
+        # metrics.
         if pooled_synth:
             synth_pool, idx, ratio, key = rest
         else:
@@ -127,12 +139,17 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
         imgs_u8 = random_flip(imgs_u8, k_flip)
         imgs = normalize_images(imgs_u8, dtype=dtype)
 
+        # pass mask only when set, so mask-unaware models (test doubles,
+        # custom backbones) keep working on the unmasked path
+        mkw = {} if mask is None else {"mask": mask}
+
         def loss_fn(params):
             logits, upd = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                imgs, train=True, mutable=["batch_stats"])
+                imgs, train=True, mutable=["batch_stats"], **mkw)
             losses = softmax_ce(logits, labels)
-            return jnp.mean(losses), (losses, logits, upd["batch_stats"])
+            return weighted_mean(losses, mask), (losses, logits,
+                                                 upd["batch_stats"])
 
         (_, (losses, logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

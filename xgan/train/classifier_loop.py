@@ -42,6 +42,7 @@ from xgan.train.common import ModelState
 from xgan.train.curriculum import (get_current_synthetic_ratio,
                                    parse_curriculum_schedule)
 from xgan.train.gan_loop import load_train_store, resolve_dtype
+from xgan.train.loop_common import batch_tail_mask
 from xgan.utils import check_create_dir
 from xgan.utils.timer import maybe_trace
 
@@ -95,11 +96,15 @@ def _epoch_pass(step_fn, state, device_stores, batches, ratio, key,
     losses_acc, preds_acc, labels_acc = [], [], []
     real, synth = device_stores
     extra = () if synth_pool is None else (synth_pool,)
+    num_batches, batch_size = batches.shape
+    t_mask = batch_tail_mask(n_samples, num_batches, batch_size)
     for i in range(batches.shape[0]):
+        is_tail = t_mask is not None and i == num_batches - 1
         state, losses, preds, labels = step_fn(
             state, real.images, real.labels, synth.images, synth.labels,
             *extra, jnp.asarray(batches[i]), ratio,
-            jax.random.fold_in(key, i))
+            jax.random.fold_in(key, i),
+            mask=jnp.asarray(t_mask) if is_tail else None)
         losses_acc.append(losses)
         preds_acc.append(preds)
         labels_acc.append(labels)

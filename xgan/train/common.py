@@ -34,17 +34,31 @@ def create_state(model, tx: optax.GradientTransformation, rng,
                       opt_state=tx.init(params))
 
 
-def bce_with_logits(logits: jnp.ndarray, targets) -> jnp.ndarray:
+def weighted_mean(values: jnp.ndarray, weights=None) -> jnp.ndarray:
+    """Mean of ``values``, or the weights-weighted mean — the reduction
+    the reference applies over its SMALLER final batch (tail-batch
+    exactness: padded rows carry weight 0)."""
+    values = values.astype(jnp.float32)
+    if weights is None:
+        return jnp.mean(values)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(values * w) / jnp.sum(w)
+
+
+def bce_with_logits(logits: jnp.ndarray, targets, weights=None) -> jnp.ndarray:
     """Mean binary cross-entropy on logits.
 
     Numerically-stable equivalent of the reference's Sigmoid+BCELoss
     (train_gan.py:90) and BCEWithLogitsLoss (train_cgan.py:111).
-    ``targets`` may be a scalar (broadcast) or per-sample array.
+    ``targets`` may be a scalar (broadcast) or per-sample array;
+    ``weights`` (optional, (B,)) makes the reduction a weighted mean for
+    tail-exact smaller final batches.
     """
     logits = logits.astype(jnp.float32)
     targets = jnp.broadcast_to(jnp.asarray(targets, jnp.float32),
                                logits.shape)
-    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, targets))
+    return weighted_mean(
+        optax.sigmoid_binary_cross_entropy(logits, targets), weights)
 
 
 def apply_updates(tx: optax.GradientTransformation, state: ModelState,

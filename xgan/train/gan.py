@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from xgan.data.pipeline import gather_preprocess
-from xgan.train.common import ModelState, apply_updates, bce_with_logits
+from xgan.train.common import ModelState, apply_updates, bce_with_logits, \
+    weighted_mean
 
 REAL_LABEL = 0.9   # one-sided label smoothing (reference train_gan.py:92)
 FAKE_LABEL = 0.0
@@ -49,7 +50,14 @@ def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
     numerically identical (tests/test_multistep.py)."""
 
     def step(g_state: ModelState, d_state: ModelState,
-             images_u8, idx, key):
+             images_u8, idx, key, mask=None):
+        # ``mask`` (None or (B,) 0/1 float): tail-exact semantics — the
+        # reference's final batch per epoch is SMALLER (torch DataLoader
+        # drop_last=False, data_loader.py:189-197); ours is wrap-padded
+        # to a static shape, and the mask removes the padded rows from
+        # every loss mean, metric mean and BN batch statistic so the
+        # parameter/stat updates equal the reference's smaller batch.
+        mkw = {} if mask is None else {"mask": mask}
         k_flip, k_noise = jax.random.split(key)
         real = gather_preprocess(images_u8, idx, k_flip, train=True,
                                  dtype=dtype, batch_sharding=batch_sharding)
@@ -61,7 +69,7 @@ def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
         def g_forward(g_params):
             fake, upd = g_model.apply(
                 {"params": g_params, "batch_stats": g_state.batch_stats},
-                noise, train=True, mutable=["batch_stats"])
+                noise, train=True, mutable=["batch_stats"], **mkw)
             return fake, upd["batch_stats"]
 
         fake, g_vjp, g_stats_new = jax.vjp(g_forward, g_state.params,
@@ -71,14 +79,14 @@ def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
         def d_loss_fn(d_params):
             logits_real, upd1 = d_model.apply(
                 {"params": d_params, "batch_stats": d_state.batch_stats},
-                real, train=True, mutable=["batch_stats"])
+                real, train=True, mutable=["batch_stats"], **mkw)
             logits_fake, upd2 = d_model.apply(
                 {"params": d_params, "batch_stats": upd1["batch_stats"]},
-                fake, train=True, mutable=["batch_stats"])
-            loss = (bce_with_logits(logits_real, REAL_LABEL)
-                    + bce_with_logits(logits_fake, FAKE_LABEL))
-            d_x = jnp.mean(jax.nn.sigmoid(logits_real))
-            d_g_z1 = jnp.mean(jax.nn.sigmoid(logits_fake))
+                fake, train=True, mutable=["batch_stats"], **mkw)
+            loss = (bce_with_logits(logits_real, REAL_LABEL, mask)
+                    + bce_with_logits(logits_fake, FAKE_LABEL, mask))
+            d_x = weighted_mean(jax.nn.sigmoid(logits_real), mask)
+            d_g_z1 = weighted_mean(jax.nn.sigmoid(logits_fake), mask)
             return loss, (upd2["batch_stats"], d_x, d_g_z1)
 
         (loss_d, (d_stats2, d_x, d_g_z1)), d_grads = jax.value_and_grad(
@@ -90,9 +98,9 @@ def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
             logits, upd3 = d_model.apply(
                 {"params": d_state.params,
                  "batch_stats": d_state.batch_stats},
-                fake_images, train=True, mutable=["batch_stats"])
-            loss = bce_with_logits(logits, REAL_LABEL)
-            d_g_z2 = jnp.mean(jax.nn.sigmoid(logits))
+                fake_images, train=True, mutable=["batch_stats"], **mkw)
+            loss = bce_with_logits(logits, REAL_LABEL, mask)
+            d_g_z2 = weighted_mean(jax.nn.sigmoid(logits), mask)
             return loss, (upd3["batch_stats"], d_g_z2)
 
         (loss_g, (d_stats3, d_g_z2)), fake_grad = jax.value_and_grad(

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import time
 
 from xgan.data.pipeline import epoch_batches
 
@@ -67,6 +69,24 @@ def export_generator_pth(model_dir: str, kind: str, g_state) -> None:
         print(f"Warning: could not write {path}: {e}")
 
 
+def batch_tail_mask(n_valid: int, num_batches: int, batch_size: int):
+    """0/1 float32 validity mask for the FINAL batch of an epoch, or None
+    when that batch is full. pipeline.epoch_batches wrap-pads the last
+    batch to the static shape, so padded rows are always its tail; the
+    mask gives the jitted steps the reference DataLoader's exact
+    smaller-final-batch semantics (drop_last=False,
+    reference data_loader.py:189-197) for losses, gradients and BN batch
+    statistics. With --limit-batches the kept batches are all full (the
+    padded one is the last of the untruncated epoch), so this returns
+    None unless the tail batch is actually dispatched."""
+    import numpy as np
+    pad = num_batches * batch_size - n_valid
+    if pad <= 0:
+        return None
+    return np.concatenate([np.ones(batch_size - pad, np.float32),
+                           np.zeros(pad, np.float32)])
+
+
 def trace_epoch(start_epoch: int, epochs: int) -> int:
     """Epoch index the XLA profiler captures when --trace-dir is set: the
     first post-compile epoch, falling back to the only remaining epoch on
@@ -74,3 +94,35 @@ def trace_epoch(start_epoch: int, epochs: int) -> int:
     profiling run is never a silent no-op. Generalizes the classifier
     loop's min(1, epochs-1) pattern to resumed runs."""
     return min(start_epoch + 1, epochs - 1)
+
+
+class EpochProgress:
+    """Reference-style in-epoch progress (tqdm bars with a live postfix,
+    reference train_gan.py:118,162-163) — but SYNC-FREE: it reports only
+    dispatch progress (batch counter + enqueue rate), never device
+    values, because fetching a loss per batch would force a device sync
+    every iteration — exactly the reference overhead the fused-epoch
+    design removes (metrics are fetched once per epoch). Writes only to
+    a TTY (tqdm's own auto-disable behavior on non-interactive streams),
+    so piped/driver logs stay clean."""
+
+    def __init__(self, epoch: int, epochs: int, num_batches: int,
+                 every: int = 1):
+        self.enabled = sys.stdout.isatty()
+        self.prefix = f"Epoch {epoch + 1}/{epochs}"
+        self.total = num_batches
+        self.every = max(1, every)
+        self.t0 = time.time()
+
+    def update(self, i: int) -> None:
+        if not self.enabled or (i % self.every and i != self.total):
+            return
+        rate = i / max(time.time() - self.t0, 1e-9)
+        sys.stdout.write(f"\r{self.prefix}: {i}/{self.total} batches "
+                         f"dispatched ({rate:.1f}/s)")
+        sys.stdout.flush()
+
+    def close(self) -> None:
+        if self.enabled:
+            sys.stdout.write("\r\x1b[2K")
+            sys.stdout.flush()

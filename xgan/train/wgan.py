@@ -26,15 +26,18 @@ import jax
 import jax.numpy as jnp
 
 from xgan.data.pipeline import gather_preprocess
-from xgan.train.common import ModelState, apply_updates
+from xgan.train.common import ModelState, apply_updates, weighted_mean
 
 
-def gradient_penalty(apply_fn, real, fake, key, lambda_gp: float = 10.0):
+def gradient_penalty(apply_fn, real, fake, key, lambda_gp: float = 10.0,
+                     mask=None):
     """λ·mean((‖∇_x apply_fn(x̂)‖₂ − 1)²) with per-sample α interpolation.
 
     ``apply_fn(x) -> (scores (B,), aux)``; differentiable in x and in any
     parameters it closes over (the double-backward case). Returns (gp, aux)
-    where aux comes from the interpolated-batch forward.
+    where aux comes from the interpolated-batch forward. ``mask``: (B,)
+    validity weights — the penalty mean covers only valid rows
+    (tail-exact smaller final batch).
     """
     b = real.shape[0]
     alpha = jax.random.uniform(key, (b, 1, 1, 1), jnp.float32)
@@ -42,13 +45,19 @@ def gradient_penalty(apply_fn, real, fake, key, lambda_gp: float = 10.0):
 
     def scalar_fn(x):
         scores, aux = apply_fn(x)
+        if mask is not None:
+            # padded rows must not contribute to the differentiated sum:
+            # their normalized activations depend on the valid rows'
+            # masked-BN statistics, so an unweighted sum would leak
+            # gradient from garbage rows back into valid ones.
+            scores = scores * mask.astype(scores.dtype)
         return jnp.sum(scores), aux
 
     grads, aux = jax.grad(scalar_fn, has_aux=True)(inter)
     norms = jnp.sqrt(jnp.sum(
         jnp.square(grads.astype(jnp.float32).reshape(b, -1)), axis=1)
         + 1e-12)
-    gp = lambda_gp * jnp.mean(jnp.square(norms - 1.0))
+    gp = lambda_gp * weighted_mean(jnp.square(norms - 1.0), mask)
     return gp, aux
 
 
@@ -65,7 +74,11 @@ def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
     per-step keys ``fold_in(key, iters0 + t)`` — the identical PRNG
     stream of the K=1 epoch loop (see make_dcgan_step)."""
 
-    def step(g_state: ModelState, c_state: ModelState, images_u8, idx, key):
+    def step(g_state: ModelState, c_state: ModelState, images_u8, idx,
+             key, mask=None):
+        # ``mask`` (None or (B,) 0/1 float): tail-exact semantics for the
+        # wrap-padded final batch — see make_dcgan_step.
+        mkw = {} if mask is None else {"mask": mask}
         k_flip, k_critic, k_g = jax.random.split(key, 3)
         real = gather_preprocess(images_u8, idx, k_flip, train=True,
                                  dtype=dtype, batch_sharding=batch_sharding)
@@ -81,29 +94,30 @@ def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
                 k_noise, (real.shape[0], latent_dim), jnp.float32)
             fake, g_upd = g_model.apply(
                 g_st.variables(), noise, train=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], **mkw)
             g_st = g_st.replace(batch_stats=g_upd["batch_stats"])
             fake = jax.lax.stop_gradient(fake)
 
             def c_loss_fn(c_params):
                 d_real, upd1 = c_model.apply(
                     {"params": c_params, "batch_stats": c_st.batch_stats},
-                    real, train=True, mutable=["batch_stats"])
+                    real, train=True, mutable=["batch_stats"], **mkw)
                 d_fake, upd2 = c_model.apply(
                     {"params": c_params,
                      "batch_stats": upd1["batch_stats"]},
-                    fake, train=True, mutable=["batch_stats"])
+                    fake, train=True, mutable=["batch_stats"], **mkw)
 
                 def critic_on(x):
                     scores, upd3 = c_model.apply(
                         {"params": c_params,
                          "batch_stats": upd2["batch_stats"]},
-                        x, train=True, mutable=["batch_stats"])
+                        x, train=True, mutable=["batch_stats"], **mkw)
                     return scores, upd3["batch_stats"]
 
                 gp, stats3 = gradient_penalty(critic_on, real, fake,
-                                              k_alpha, lambda_gp)
-                loss = -jnp.mean(d_real) + jnp.mean(d_fake) + gp
+                                              k_alpha, lambda_gp, mask)
+                loss = (-weighted_mean(d_real, mask)
+                        + weighted_mean(d_fake, mask) + gp)
                 return loss, stats3
 
             (d_loss, new_stats), grads = jax.value_and_grad(
@@ -121,12 +135,12 @@ def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
         def g_loss_fn(g_params):
             fake, g_upd = g_model.apply(
                 {"params": g_params, "batch_stats": g_state.batch_stats},
-                noise, train=True, mutable=["batch_stats"])
+                noise, train=True, mutable=["batch_stats"], **mkw)
             scores, c_upd = c_model.apply(
                 c_state.variables(), fake, train=True,
-                mutable=["batch_stats"])
-            return -jnp.mean(scores), (g_upd["batch_stats"],
-                                       c_upd["batch_stats"])
+                mutable=["batch_stats"], **mkw)
+            return -weighted_mean(scores, mask), (g_upd["batch_stats"],
+                                                  c_upd["batch_stats"])
 
         (g_loss, (g_stats, c_stats)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_state.params)

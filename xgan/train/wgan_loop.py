@@ -21,8 +21,9 @@ from xgan.models import wgan
 from xgan.parallel import create_mesh
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
-from xgan.train.loop_common import grid_iters, replay_data_rng, \
-    export_generator_pth, resume_history, trace_epoch
+from xgan.train.loop_common import batch_tail_mask, grid_iters, \
+    EpochProgress, export_generator_pth, replay_data_rng, \
+    resume_history, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.train.wgan import make_wgan_step
 from xgan.utils import StepTimer, check_create_dir
@@ -111,6 +112,8 @@ def train_wgan(args):
         if args.limit_batches:
             batches = batches[:args.limit_batches]
         num_batches = batches.shape[0]
+        t_mask = batch_tail_mask(len(store), num_batches, batch_size)
+        chunkable = num_batches - (1 if t_mask is not None else 0)
         d_acc, g_acc = [], []
 
         # Optional XLA profiler capture (first post-compile epoch, or the
@@ -120,20 +123,24 @@ def train_wgan(args):
                 if (getattr(args, "trace_dir", "")
                     and epoch == trace_epoch(start_epoch, args.epochs))
                 else None):
+            progress = EpochProgress(epoch, args.epochs, num_batches)
             i = 0
             while i < num_batches:
                 chunk = (k_steps if (multi_fn is not None
-                                     and i + k_steps <= num_batches) else 1)
+                                     and i + k_steps <= chunkable) else 1)
                 if chunk > 1:
                     g_state, c_state, d_losses, g_loss = multi_fn(
                         g_state, c_state, device_store.images,
                         jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
                         k_data)
                 else:
+                    is_tail = (t_mask is not None
+                               and i == num_batches - 1)
                     g_state, c_state, d_losses, g_loss = step_fn(
                         g_state, c_state, device_store.images,
                         jnp.asarray(batches[i]),
-                        jax.random.fold_in(k_data, iters))
+                        jax.random.fold_in(k_data, iters),
+                        mask=jnp.asarray(t_mask) if is_tail else None)
                 d_acc.append(d_losses)
                 g_acc.append(g_loss)
 
@@ -145,6 +152,7 @@ def train_wgan(args):
                                    f"iter_{t:06d}.png"))
                 iters += chunk
                 i += chunk
+                progress.update(i)
 
             # (critic_iters,) per single step, (K, critic_iters) per
             # chunk; flatten in iteration order either way.
@@ -152,6 +160,7 @@ def train_wgan(args):
                                    for x in jax.device_get(d_acc)])
             g_ep = np.concatenate([np.atleast_1d(np.asarray(x))
                                    for x in jax.device_get(g_acc)])
+        progress.close()
         timer.tick(num_batches)
         history["D_losses"].extend(d_ep.tolist())
         history["G_losses"].extend(g_ep.tolist())
