@@ -25,7 +25,8 @@ def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
               ratio: jnp.ndarray, key, *,
               synth_pool: jnp.ndarray | None = None,
               use_pallas: bool = False,
-              sharding=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              sharding=None,
+              pallas_interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns a mixed uint8 batch and its labels.
 
     real_images_u8: (N_r, S, S, 3) store; real_idx: (B,) this batch's rows.
@@ -53,7 +54,8 @@ def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
         from xgan.ops.pallas.gather import mixed_gather_spmd
         images = mixed_gather_spmd(real_images_u8, synth_images_u8,
                                    real_idx, synth_idx, use_synth,
-                                   sharding=sharding)
+                                   sharding=sharding,
+                                   interpret=pallas_interpret)
     else:
         real_batch = jnp.take(real_images_u8, real_idx, axis=0)
         synth_batch = jnp.take(synth_images_u8, synth_idx, axis=0)
