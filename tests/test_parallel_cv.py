@@ -241,3 +241,83 @@ def test_parallel_cv_empty_synthetic_fallback(fake_dataset, tmp_path):
     # augmented: concat adds nothing; behaves like baseline over real rows
     summary = train_classifier(mk("aug"))
     assert summary is not None and len(summary["folds"]) == 2
+
+
+def test_lockstep_masking_freezes_exhausted_folds():
+    """Tail exactness for --parallel-folds: uneven folds run in lockstep,
+    and once a shorter fold's epoch is exhausted its lockstep batches
+    carry an all-zero mask — that fold's params/opt-state/BN stats must
+    FREEZE (the sequential reference simply ended its epoch) while the
+    longer fold keeps training. Also pins the partial tail batch: the
+    masked rows do not perturb the shorter fold's update."""
+    import jax
+    import jax.numpy as jnp
+
+    from xgan.models.resnet import ResNet50
+    from xgan.train.classifier import classifier_optimizer
+    from xgan.train.common import ModelState
+    from xgan.train.parallel_folds import (fold_epoch_batches, fold_masks,
+                                           make_parallel_steps,
+                                           stack_states, unstack_state)
+
+    B = 4
+    model = ResNet50(num_classes=2, stage_sizes=(1, 1, 1, 1))
+    tx = classifier_optimizer(1e-3, freeze_base=True)
+    states = []
+    for f in range(2):
+        variables = model.init(jax.random.key(f),
+                               jnp.zeros((2, 32, 32, 3)), train=False)
+        states.append(ModelState(params=variables["params"],
+                                 batch_stats=variables["batch_stats"],
+                                 opt_state=tx.init(variables["params"])))
+    stacked = stack_states(states)
+    train_step, _ = make_parallel_steps(model, tx, mode="real", n_folds=2)
+
+    images = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (20, 32, 32, 3), np.uint8))
+    labels = jnp.asarray((np.arange(20) % 2).astype(np.int32))
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.uint8)
+    dummy_l = jnp.zeros((1,), jnp.int32)
+
+    # fold 0: 16 samples (4 full batches); fold 1: 9 samples (3 batches,
+    # the 3rd with 1 valid row; batch 4 fully padded -> frozen)
+    spaces = [np.arange(16), np.arange(9)]
+    rng = np.random.default_rng(1)
+    batches, n_valid = fold_epoch_batches(spaces, B, rng)
+    assert batches.shape == (4, 2, B)
+    masks = fold_masks(4, B, n_valid)
+    np.testing.assert_array_equal(masks[2, 1], [1, 0, 0, 0])
+    np.testing.assert_array_equal(masks[3, 1], [0, 0, 0, 0])
+    np.testing.assert_array_equal(masks[3, 0], [1, 1, 1, 1])
+
+    snap = None
+    for i in range(4):
+        keys = jax.random.split(jax.random.fold_in(jax.random.key(2), i), 2)
+        prev = jax.device_get(stacked)
+        stacked, losses, preds, lab = train_step(
+            stacked, images, labels, dummy, dummy_l,
+            jnp.asarray(batches[i]), jnp.float32(0.0), keys,
+            jnp.asarray(masks[i]))
+        # per-sample losses on VALID rows stay finite; a fully-padded
+        # fold row may be NaN (its unnormalized garbage activations
+        # overflow through depth) — never consumed: metrics drop it and
+        # the state freeze below keeps the fold's training clean.
+        l = np.asarray(losses)
+        m = np.asarray(masks[i]) > 0
+        assert np.all(np.isfinite(l[m]))
+        if i == 3:
+            # fold 1 (exhausted): bitwise frozen incl. opt state + BN
+            prev1 = jax.tree_util.tree_map(lambda x: x[1], prev)
+            for a, b in zip(
+                    jax.tree_util.tree_leaves(unstack_state(stacked, 1)),
+                    jax.tree_util.tree_leaves(prev1)):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b))
+            # fold 0 still trains
+            prev0 = jax.tree_util.tree_map(lambda x: x[0], prev)
+            moved = max(
+                float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+                    jax.tree_util.tree_leaves(
+                        unstack_state(stacked, 0).params),
+                    jax.tree_util.tree_leaves(prev0.params)))
+            assert moved > 0

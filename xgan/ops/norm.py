@@ -52,8 +52,13 @@ def batch_norm_train(x, scale, bias, running_mean, running_var, *,
         for a in axes[1:]:
             spatial *= x.shape[a]
         n = jnp.sum(w) * spatial  # valid elements per channel
-        mean = jnp.sum(x32 * w, axis=axes) / n
-        var = jnp.sum(jnp.square(x32) * w, axis=axes) / n - jnp.square(mean)
+        # max(n, 1): an all-zero mask (fully-padded lockstep batch in
+        # parallel folds) must not produce NaN statistics; the caller
+        # freezes running stats for such batches.
+        denom = jnp.maximum(n, 1.0)
+        mean = jnp.sum(x32 * w, axis=axes) / denom
+        var = (jnp.sum(jnp.square(x32) * w, axis=axes) / denom
+               - jnp.square(mean))
     var = jnp.maximum(var, 0.0)
 
     unbiased = var * (n / jnp.maximum(n - 1, 1))

@@ -153,7 +153,17 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
 
         (_, (losses, logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        state = apply_updates(tx, state, grads, new_stats)
+        new_state = apply_updates(tx, state, grads, new_stats)
+        if mask is not None:
+            # A fully-padded batch (parallel folds in lockstep: a short
+            # fold past its epoch end) must be a NO-OP — params, BN
+            # running stats AND optimizer moments/count stay frozen, as
+            # if the reference's sequential fold loop had simply ended.
+            any_valid = jnp.sum(mask) > 0
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(any_valid, new, old),
+                new_state, state)
+        state = new_state
         preds = jnp.argmax(logits, axis=-1)
         return state, losses, preds, labels
 

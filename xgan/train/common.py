@@ -42,7 +42,10 @@ def weighted_mean(values: jnp.ndarray, weights=None) -> jnp.ndarray:
     if weights is None:
         return jnp.mean(values)
     w = weights.astype(jnp.float32)
-    return jnp.sum(values * w) / jnp.sum(w)
+    # max(sum, eps): an ALL-ZERO mask (a fully-padded lockstep batch in
+    # parallel folds) yields 0, not NaN; the caller freezes the state
+    # for such batches (classifier step empty-batch freeze).
+    return jnp.sum(values * w) / jnp.maximum(jnp.sum(w), 1e-9)
 
 
 def bce_with_logits(logits: jnp.ndarray, targets, weights=None) -> jnp.ndarray:

@@ -22,7 +22,8 @@ from xgan.train.classifier import classifier_optimizer
 from xgan.train.common import ModelState
 from xgan.train.curriculum import get_current_synthetic_ratio
 from xgan.utils.timer import maybe_trace
-from xgan.train.parallel_folds import (fold_epoch_batches, fold_mesh,
+from xgan.train.parallel_folds import (fold_epoch_batches, fold_masks,
+                                       fold_mesh,
                                        make_parallel_steps, stack_states,
                                        unstack_state)
 
@@ -123,6 +124,7 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
         if args.limit_batches:
             batches = batches[:args.limit_batches]
             n_valid = np.minimum(n_valid, batches.shape[0] * batch_size)
+        epoch_masks = fold_masks(batches.shape[0], batch_size, n_valid)
         loss_acc, pred_acc, lab_acc = [], [], []
         # Optional XLA profiler capture of one post-compile train phase;
         # exception-safe via the with-block.
@@ -137,7 +139,8 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
                 stacked, losses, preds, labels = train_step(
                     stacked, real_dev.images, real_dev.labels,
                     synth_dev.images, synth_dev.labels, *pool_arg,
-                    jnp.asarray(batches[i]), jnp.float32(ratio), keys)
+                    jnp.asarray(batches[i]), jnp.float32(ratio), keys,
+                    jnp.asarray(epoch_masks[i]))
                 loss_acc.append(losses)
                 pred_acc.append(preds)
                 lab_acc.append(labels)

@@ -64,8 +64,16 @@ def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
     """Returns (train_step, eval_step) vmapped over the fold axis.
 
     train_step(stacked_state, real_u8, real_labels, synth_u8, synth_labels,
-               idx (k,B), ratio, keys (k,)) ->
+               idx (k,B), ratio, keys (k,), mask (k,B)) ->
         (stacked_state, losses (k,B), preds (k,B), labels (k,B))
+
+    ``mask`` is the per-fold sample-validity matrix (tail exactness,
+    xgan/ops/norm.py): positions past a fold's true epoch length are 0 —
+    the fold's own wrap-padded tail AND the whole lockstep batches a
+    shorter fold re-visits to stay aligned with the longest fold. A
+    fully-zero fold row makes that fold's update a NO-OP (classifier
+    step empty-batch freeze), so every fold trains on exactly the
+    reference's sequential-fold batch set.
     eval_step(stacked_variables, images_u8, idx (k,B), labels_all) ->
         (losses (k,B), preds (k,B), labels (k,B))
 
@@ -97,40 +105,73 @@ def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
     raw_eval = make_eval_step(model, dtype=dtype, batch_sharding=None,
                               jit_compile=False)
 
+    def raw_train_masked(*args):
+        # mask rides as the LAST positional arg (vmap maps positionals)
+        *pos, mask = args
+        return raw_train(*pos, mask=mask)
+
     # pooled variant inserts the per-fold (k, P) pool after synth_labels
-    train_axes = ((0, None, None, None, None, 0, 0, None, 0)
-                  if pooled_synth else
-                  (0, None, None, None, None, 0, None, 0))
-    vtrain = jax.vmap(raw_train, in_axes=train_axes)
+    base_axes = ((0, None, None, None, None, 0, 0, None, 0)
+                 if pooled_synth else
+                 (0, None, None, None, None, 0, None, 0))
+    vtrain_masked = jax.vmap(raw_train_masked, in_axes=base_axes + (0,))
+    # unmasked variant: raw step gets NO mask kwarg at all, so
+    # mask-unaware custom models keep working through the parallel path
+    vtrain_plain = jax.vmap(raw_train, in_axes=base_axes)
+
+    def vtrain(stacked, *args):
+        *pos, mask = args
+        if mask is None:
+            return vtrain_plain(stacked, *pos)
+        return vtrain_masked(stacked, *pos, mask)
     veval = jax.vmap(raw_eval, in_axes=(0, None, 0, None))
+
+    def _split_rest(rest):
+        """(pools..., idx, ratio, keys[, mask]) — mask is None (no fold
+        padding, plain unmasked steps) for callers that omit it."""
+        n_no_mask = 4 if pooled_synth else 3
+        if len(rest) == n_no_mask:
+            *pools, idx, ratio, keys = rest
+            mask = None
+        else:
+            *pools, idx, ratio, keys, mask = rest
+        return pools, idx, ratio, keys, mask
 
     if pmesh is not None and pmesh.shape["fold"] > 1:
         data_sh = NamedSharding(pmesh, P(None, "data"))
 
         def train_body(stacked, real_u8, real_labels, synth_u8,
                        synth_labels, *rest):
-            idx, ratio, keys = rest[-3:]
+            pools, idx, ratio, keys, mask = _split_rest(rest)
             idx = jax.lax.with_sharding_constraint(idx, data_sh)
             return vtrain(stacked, real_u8, real_labels, synth_u8,
-                          synth_labels, *rest[:-3], idx, ratio, keys)
+                          synth_labels, *pools, idx, ratio, keys, mask)
 
         def eval_body(stacked_vars, images_u8, idx, labels_all):
             idx = jax.lax.with_sharding_constraint(idx, data_sh)
             return veval(stacked_vars, images_u8, idx, labels_all)
 
         pool_specs = (P("fold"),) if pooled_synth else ()
-        train_step = jax.shard_map(
-            train_body, mesh=pmesh,
-            in_specs=(P("fold"), P(), P(), P(), P()) + pool_specs
-                     + (P("fold"), P(), P("fold")),
-            out_specs=(P("fold"), P("fold"), P("fold"), P("fold")),
-            axis_names={"fold"}, check_vma=False)
+
+        def _shmapped(*args):
+            # specs must match the actual arg count: mask present or not
+            n_base = 5 + len(pool_specs) + 3
+            has_mask = len(args) > n_base
+            specs = ((P("fold"), P(), P(), P(), P()) + pool_specs
+                     + (P("fold"), P(), P("fold"))
+                     + ((P("fold"),) if has_mask else ()))
+            return jax.shard_map(
+                train_body, mesh=pmesh, in_specs=specs,
+                out_specs=(P("fold"), P("fold"), P("fold"), P("fold")),
+                axis_names={"fold"}, check_vma=False)(*args)
+
+        train_step = _shmapped
         eval_step = jax.shard_map(
             eval_body, mesh=pmesh,
             in_specs=(P("fold"), P(), P("fold"), P()),
             out_specs=(P("fold"),) * 4,
             axis_names={"fold"}, check_vma=False)
-        return (jax.jit(train_step, donate_argnums=(0,)),
+        return (jax.jit(_shmapped, donate_argnums=(0,)),
                 jax.jit(eval_step))
 
     if fold_sharding is None and pmesh is not None:
@@ -138,11 +179,11 @@ def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
 
     def train_step(stacked, real_u8, real_labels, synth_u8, synth_labels,
                    *rest):
-        idx, ratio, keys = rest[-3:]
+        pools, idx, ratio, keys, mask = _split_rest(rest)
         if fold_sharding is not None:
             idx = jax.lax.with_sharding_constraint(idx, fold_sharding)
         return vtrain(stacked, real_u8, real_labels, synth_u8,
-                      synth_labels, *rest[:-3], idx, ratio, keys)
+                      synth_labels, *pools, idx, ratio, keys, mask)
 
     def eval_step(stacked_vars, images_u8, idx, labels_all):
         if fold_sharding is not None:
@@ -159,8 +200,10 @@ def fold_epoch_batches(fold_indices: List[np.ndarray], batch_size: int,
 
     Returns (batches (num_batches, k, B) int32, n_valid (k,)): folds with
     fewer samples wrap around; n_valid marks how many flattened entries
-    per fold are real (the rest are padding duplicates to drop from
-    metrics).
+    per fold are real. The padding duplicates are dropped from metrics
+    AND masked out of gradients/BN stats (fold_masks + the classifier
+    step's empty-batch freeze), so lockstep execution trains each fold
+    on exactly its own epoch.
     """
     from xgan.data.pipeline import epoch_batches
     per_fold = [epoch_batches(len(fi), batch_size, rng, shuffle=shuffle,
@@ -175,3 +218,14 @@ def fold_epoch_batches(fold_indices: List[np.ndarray], batch_size: int,
         out[:, f, :] = tiled
         n_valid[f] = min(len(fold_indices[f]), num_batches * batch_size)
     return out, n_valid
+
+
+def fold_masks(num_batches: int, batch_size: int,
+               n_valid: np.ndarray) -> np.ndarray:
+    """(num_batches, k, B) float32 validity masks for fold_epoch_batches
+    output: position i*B + r of fold f is valid iff it is below the
+    fold's true epoch length (fold tails and lockstep wrap batches are
+    0 — see make_parallel_steps docstring)."""
+    pos = (np.arange(batch_size)[None, None, :]
+           + batch_size * np.arange(num_batches)[:, None, None])
+    return (pos < np.asarray(n_valid)[None, :, None]).astype(np.float32)
