@@ -216,6 +216,118 @@ def test_dcgan_tail_matches_torch():
     assert _param_drift(d2.params, dt, transpose_conv=False) < 1e-4
 
 
+def test_cgan_tail_matches_torch():
+    """Masked CGAN tail step vs eager torch on the actual small batch —
+    covers the weighted perceptual/feature-matching means and weighted
+    gate metrics, the only masked path without a direct check."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    from tests.test_generator_pth import _RefCGANGenerator
+    from tests.test_torch_trajectory import (_RefCGANDiscriminator,
+                                             _TorchVGGBlocks, _copy_cgan_d,
+                                             _copy_vgg, _nchw, _normalize)
+    from xgan.models import cgan
+    from xgan.models.pretrained import save_torch_cgan_generator
+    from xgan.models.vgg import VGG16Features
+    from xgan.train.cgan import make_cgan_step
+
+    EPOCH = 0
+    g_model = cgan.Generator(latent_dim=LATENT, num_classes=2,
+                             feature_maps=FM, image_size=SIZE)
+    d_model = cgan.Discriminator(num_classes=2, feature_maps=FM,
+                                 image_size=SIZE)
+    vgg_model = VGG16Features()
+    from xgan.train.common import adam
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    key = jax.random.key(2)
+    g_state = create_state(g_model, g_tx, key, jnp.zeros((2, LATENT)),
+                           jnp.zeros((2,), jnp.int32), train=False)
+    d_state = create_state(d_model, d_tx, key,
+                           jnp.zeros((2, SIZE, SIZE, 3)),
+                           jnp.zeros((2,), jnp.int32), train=False)
+    vgg_params = vgg_model.init(
+        jax.random.key(3), jnp.zeros((1, SIZE, SIZE, 3)))["params"]
+
+    gt = _RefCGANGenerator(LATENT, 2, 3, FM, SIZE // 32)
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        save_torch_cgan_generator(f.name, g_state.params,
+                                  g_state.batch_stats)
+        gt.load_state_dict(torch.load(f.name, map_location="cpu",
+                                      weights_only=True))
+    dt = _RefCGANDiscriminator(FM, SIZE // 32)
+    _copy_cgan_d(d_state.params, dt, FM, SIZE // 32)
+    vt = _TorchVGGBlocks()
+    _copy_vgg(vgg_params, vt)
+    for p in vt.parameters():
+        p.requires_grad = False
+
+    images = np.random.default_rng(13).integers(
+        0, 255, (16, SIZE, SIZE, 3), np.uint8)
+    labels_all = (np.arange(16) % 2).astype(np.int32)
+    idx = np.arange(B)
+    k_step = jax.random.key(31)
+
+    step = make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx,
+                          latent_dim=LATENT, donate=False)
+    _, _, m = step(g_state, d_state, vgg_params, jnp.asarray(images),
+                   jnp.asarray(labels_all), jnp.asarray(idx),
+                   jnp.int32(EPOCH), k_step, mask=_mask())
+    ours = np.asarray(m)
+
+    # torch consumes the first VALID rows of the identical internal draws
+    k_flip, k_noise, k_lab, k_rs, k_fs = jax.random.split(k_step, 5)
+    flip = np.asarray(jax.random.bernoulli(k_flip, 0.5, (B,)))[:VALID]
+    noise = torch.from_numpy(np.asarray(
+        jax.random.normal(k_noise, (B, LATENT)))[:VALID].copy())
+    fake_labels = torch.from_numpy(np.asarray(
+        jax.random.randint(k_lab, (B,), 0, 2))[:VALID]
+        .astype(np.int64).copy())
+    real_smooth = torch.from_numpy(np.asarray(
+        0.9 - 0.1 * jax.random.uniform(k_rs, (B,)))[:VALID].copy())
+    fake_smooth = torch.from_numpy(np.asarray(
+        0.1 + 0.1 * jax.random.uniform(k_fs, (B,)))[:VALID].copy())
+    batch = images[idx[:VALID]]
+    batch = np.where(flip[:, None, None, None], batch[:, :, ::-1, :],
+                     batch)
+    real = _nchw(_normalize(batch))
+    real_labels = torch.from_numpy(
+        labels_all[idx[:VALID]].astype(np.int64).copy())
+
+    bcel = tnn.BCEWithLogitsLoss()
+    opt_d = torch.optim.Adam(dt.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_g = torch.optim.Adam(gt.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    dt.zero_grad()
+    out_real = dt(real, real_labels)
+    d_x = torch.sigmoid(out_real).mean().item()
+    err_d_real = bcel(out_real, real_smooth)
+    fake = gt(noise, fake_labels)
+    out_fake = dt(fake.detach(), fake_labels)
+    d_g_z1 = torch.sigmoid(out_fake).mean().item()
+    err_d = err_d_real + bcel(out_fake, fake_smooth)
+    err_d.backward()
+    opt_d.step()
+    gt.zero_grad()
+    out_fake2 = dt(fake, fake_labels)
+    d_g_z2 = torch.sigmoid(out_fake2).mean().item()
+    err_adv = bcel(out_fake2, real_smooth)
+    f_f, f_r = vt(fake), vt(real)
+    perc = sum(torch.mean((a - b) ** 2) for a, b in zip(f_f, f_r))
+    fm = sum(torch.mean((a - b) ** 2) for a, b in zip(
+        dt.features(real, real_labels), dt.features(fake, fake_labels)))
+    err_g = err_adv + 10.0 * perc + 5.0 * fm
+    err_g.backward()
+    opt_g.step()
+    theirs = np.asarray([err_g.item(), err_d.item(), d_x, d_g_z1,
+                         d_g_z2, perc.item(), fm.item()])
+    # loss_G is O(100) (10x random-VGG perceptual); tolerance scales
+    # with magnitude (assert_allclose only takes scalar atol)
+    diff = np.abs(ours - theirs)
+    tol = 2e-3 + 1e-4 * np.abs(theirs)
+    assert np.all(diff < tol), (ours, theirs, diff)
+
+
 # ---------------------------------------------------------------------------
 # 3) B∤N DP-equivalence variant: the masked step is identical on a
 #    1-device and an 8-device mesh.
