@@ -452,30 +452,18 @@ def test_wgan_masked_equals_small_batch():
 # loop-level: a non-divisible batch size drives the masked-tail dispatch
 # ---------------------------------------------------------------------------
 
-def test_gan_loop_handles_tail_batch(fake_dataset, tmp_path):
-    """24 fixture images at batch 16 -> 2 batches, the second with 8
-    valid + 8 wrap-padded rows: the epoch loop must route it through the
-    masked single-step program and produce finite history."""
+def test_gan_loop_tail_routing(fake_dataset, tmp_path):
+    """24 fixture images at batch 16 -> 2 batches/epoch, the second with
+    8 valid + 8 wrap-padded rows. With --steps-per-call 2 the scan chunk
+    must EXCLUDE the padded tail (it runs as the masked single step), so
+    one 2-epoch run pins both routings: chunked full batches + masked
+    tail dispatch, with finite history of the right length."""
     from tests.test_gan_training import _gan_args
     from xgan.train.gan_loop import train_dcgan
 
     args = _gan_args(fake_dataset, tmp_path, batch_size=16, epochs=2,
-                     limit_batches=0)
+                     limit_batches=0, steps_per_call=2)
     history = train_dcgan(args)
     assert len(history["G_losses_iter"]) == 4  # 2 epochs x 2 batches
     for key in ("G_losses_iter", "D_losses_iter", "D_x_iter"):
         assert np.all(np.isfinite(history[key])), key
-
-
-def test_gan_loop_tail_with_steps_per_call(fake_dataset, tmp_path):
-    """--steps-per-call must exclude the padded tail batch from scan
-    chunks (it runs as the masked single step); history length and
-    finiteness pin the routing."""
-    from tests.test_gan_training import _gan_args
-    from xgan.train.gan_loop import train_dcgan
-
-    args = _gan_args(fake_dataset, tmp_path, batch_size=16, epochs=1,
-                     limit_batches=0, steps_per_call=2)
-    history = train_dcgan(args)
-    assert len(history["G_losses_iter"]) == 2
-    assert np.all(np.isfinite(history["G_losses_iter"]))
