@@ -452,18 +452,44 @@ def test_wgan_masked_equals_small_batch():
 # loop-level: a non-divisible batch size drives the masked-tail dispatch
 # ---------------------------------------------------------------------------
 
+def _mini_rsna(root, n_train: int):
+    """RSNA-layout dataset with a chosen train count (conftest's fixture
+    is fixed at 24, which at any 8-device-divisible batch size yields
+    either no tail or no chunkable pair)."""
+    from PIL import Image
+    train_dir = root / "Training" / "Images"
+    train_dir.mkdir(parents=True)
+    (root / "Test").mkdir()
+    rng = np.random.default_rng(7)
+    classes = ["Lung Opacity", "Normal", "No Lung Opacity / Not Normal"]
+    rows = ["patientId,class"]
+    for i in range(n_train):
+        pid = f"mini{i:03d}"
+        rows.append(f"{pid},{classes[i % 3]}")
+        img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(img).save(train_dir / f"{pid}.png")
+    (root / "stage2_train_metadata.csv").write_text("\n".join(rows) + "\n")
+    (root / "stage2_test_metadata.csv").write_text(
+        "patientId,PredictionString\nt000,\n")
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+        root / "Test" / "t000.png")
+    return str(root)
+
+
 def test_gan_loop_tail_routing(fake_dataset, tmp_path):
-    """24 fixture images at batch 16 -> 2 batches/epoch, the second with
-    8 valid + 8 wrap-padded rows. With --steps-per-call 2 the scan chunk
-    must EXCLUDE the padded tail (it runs as the masked single step), so
-    one 2-epoch run pins both routings: chunked full batches + masked
-    tail dispatch, with finite history of the right length."""
+    """20 images at batch 8 (8-device divisible) -> 3 batches/epoch:
+    2 full + 1 tail with 4 valid + 4 wrap-padded rows. With
+    --steps-per-call 2 the two full batches form a real scan chunk while
+    the tail must be EXCLUDED from chunking (it runs as the masked
+    single step), so one 2-epoch run pins both routings: chunked
+    dispatch + masked tail, with finite history of the right length."""
     from tests.test_gan_training import _gan_args
     from xgan.train.gan_loop import train_dcgan
 
-    args = _gan_args(fake_dataset, tmp_path, batch_size=16, epochs=2,
-                     limit_batches=0, steps_per_call=2)
+    data_dir = _mini_rsna(tmp_path / "mini", 20)
+    args = _gan_args(fake_dataset, tmp_path, batch_size=8, epochs=2,
+                     limit_batches=0, steps_per_call=2, data_dir=data_dir)
     history = train_dcgan(args)
-    assert len(history["G_losses_iter"]) == 4  # 2 epochs x 2 batches
+    assert len(history["G_losses_iter"]) == 6  # 2 epochs x 3 batches
     for key in ("G_losses_iter", "D_losses_iter", "D_x_iter"):
         assert np.all(np.isfinite(history[key])), key
