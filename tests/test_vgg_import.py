@@ -64,3 +64,19 @@ def test_perceptual_loss_zero_for_identical(tmp_path):
     loss = perceptual_loss(
         lambda p, v: model.apply({"params": p}, v), params, x, x)
     assert float(loss) == 0.0
+
+
+def test_perceptual_loss_all_zero_mask_is_zero_not_nan():
+    """All-zero validity masks (a fully-padded lockstep batch) must
+    yield 0, matching ops.reduce.weighted_mean's freeze contract —
+    the unguarded sum/sum(w) form returned NaN here."""
+    model = VGG16Features()
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    loss = perceptual_loss(
+        lambda p, v: model.apply({"params": p}, v), params, x, y,
+        weights=jnp.zeros((2,), jnp.float32))
+    assert float(loss) == 0.0

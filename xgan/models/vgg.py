@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from xgan.ops.conv import conv2d
+from xgan.ops.reduce import layerwise_mse
 
 
 class VGG16Features(nn.Module):
@@ -61,17 +62,8 @@ class VGG16Features(nn.Module):
 def perceptual_loss(vgg_apply, vgg_params, x, y, weights=None):
     """Sum of per-block MSEs, as in reference train_cgan.py:66-73.
     ``weights``: optional (B,) validity weights — each block's mean then
-    covers only valid rows (tail-exact smaller final batch)."""
+    covers only valid rows (tail-exact smaller final batch; all-zero
+    masks yield 0 so a frozen lockstep batch never produces NaN)."""
     fx = vgg_apply(vgg_params, x)
     fy = vgg_apply(vgg_params, y)
-    total = 0.0
-    for a, b in zip(fx, fy):
-        d = a.astype(jnp.float32) - b.astype(jnp.float32)
-        if weights is None:
-            total = total + jnp.mean(jnp.square(d))
-        else:
-            per_sample = jnp.mean(jnp.square(d).reshape(d.shape[0], -1),
-                                  axis=1)
-            w = weights.astype(jnp.float32)
-            total = total + jnp.sum(per_sample * w) / jnp.sum(w)
-    return total
+    return layerwise_mse(fx, fy, weights)

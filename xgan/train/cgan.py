@@ -25,6 +25,7 @@ import optax
 
 from xgan.data.pipeline import gather_preprocess
 from xgan.models.vgg import perceptual_loss
+from xgan.ops.reduce import layerwise_mse
 from xgan.train.common import ModelState, apply_updates, weighted_mean
 
 PERCEPTUAL_WEIGHT = 10.0
@@ -37,22 +38,11 @@ def _bce_per_target(logits, targets, weights=None):
         logits.astype(jnp.float32), targets), weights)
 
 
-def _per_sample_mse(a, b):
-    d = a.astype(jnp.float32) - b.astype(jnp.float32)
-    return jnp.mean(jnp.square(d).reshape(d.shape[0], -1), axis=1)
-
-
 def feature_matching_loss(real_feats, fake_feats, weights=None):
     """Sum of per-layer MSEs (reference train_cgan.py:75-76); ``weights``
-    (B,) restricts each layer's mean to valid rows (tail exactness)."""
-    total = 0.0
-    for a, b in zip(real_feats, fake_feats):
-        if weights is None:
-            total = total + jnp.mean(jnp.square(
-                a.astype(jnp.float32) - b.astype(jnp.float32)))
-        else:
-            total = total + weighted_mean(_per_sample_mse(a, b), weights)
-    return total
+    (B,) restricts each layer's mean to valid rows (tail exactness).
+    Shares ops.reduce.layerwise_mse with the VGG perceptual loss."""
+    return layerwise_mse(real_feats, fake_feats, weights)
 
 
 def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,

@@ -167,8 +167,9 @@ def train_cgan(args):
                 getattr(args, "trace_dir", "")
                 if (getattr(args, "trace_dir", "")
                     and epoch == trace_epoch(start_epoch, args.epochs))
-                else None):
-            progress = EpochProgress(epoch, args.epochs, num_batches)
+                else None), \
+                EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
+                              num_batches) as progress:
             i = 0
             while i < num_batches:
                 chunk = (k_steps if (multi_fn is not None
@@ -201,7 +202,6 @@ def train_cgan(args):
 
             em = np.asarray(jax.device_get(jnp.concatenate(
                 [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
-        progress.close()
         timer.tick(num_batches)
         history["G_losses_iter"].extend(em[:, 0].tolist())
         history["D_losses_iter"].extend(em[:, 1].tolist())

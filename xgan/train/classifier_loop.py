@@ -42,7 +42,7 @@ from xgan.train.common import ModelState
 from xgan.train.curriculum import (get_current_synthetic_ratio,
                                    parse_curriculum_schedule)
 from xgan.train.gan_loop import load_train_store, resolve_dtype
-from xgan.train.loop_common import batch_tail_mask
+from xgan.train.loop_common import EpochProgress, batch_tail_mask
 from xgan.utils import check_create_dir
 from xgan.utils.timer import maybe_trace
 
@@ -88,7 +88,7 @@ def _init_resnet(args, dtype, rng):
 
 
 def _epoch_pass(step_fn, state, device_stores, batches, ratio, key,
-                n_samples, synth_pool=None):
+                n_samples, synth_pool=None, label="Train"):
     """Run one train phase; returns (state, loss, acc) with the wrap-around
     padding rows dropped (flattened[:n] is exactly the epoch permutation).
     ``synth_pool`` is forwarded when the step was built with
@@ -98,32 +98,37 @@ def _epoch_pass(step_fn, state, device_stores, batches, ratio, key,
     extra = () if synth_pool is None else (synth_pool,)
     num_batches, batch_size = batches.shape
     t_mask = batch_tail_mask(n_samples, num_batches, batch_size)
-    for i in range(batches.shape[0]):
-        is_tail = t_mask is not None and i == num_batches - 1
-        state, losses, preds, labels = step_fn(
-            state, real.images, real.labels, synth.images, synth.labels,
-            *extra, jnp.asarray(batches[i]), ratio,
-            jax.random.fold_in(key, i),
-            mask=jnp.asarray(t_mask) if is_tail else None)
-        losses_acc.append(losses)
-        preds_acc.append(preds)
-        labels_acc.append(labels)
+    with EpochProgress(label, num_batches) as progress:
+        for i in range(batches.shape[0]):
+            is_tail = t_mask is not None and i == num_batches - 1
+            state, losses, preds, labels = step_fn(
+                state, real.images, real.labels, synth.images, synth.labels,
+                *extra, jnp.asarray(batches[i]), ratio,
+                jax.random.fold_in(key, i),
+                mask=jnp.asarray(t_mask) if is_tail else None)
+            losses_acc.append(losses)
+            preds_acc.append(preds)
+            labels_acc.append(labels)
+            progress.update(i + 1)
     losses = np.concatenate(jax.device_get(losses_acc))[:n_samples]
     preds = np.concatenate(jax.device_get(preds_acc))[:n_samples]
     labels = np.concatenate(jax.device_get(labels_acc))[:n_samples]
     return state, float(losses.mean()), float(accuracy_score(labels, preds))
 
 
-def _eval_pass(eval_fn, variables, store: DeviceStore, batches, n_samples):
+def _eval_pass(eval_fn, variables, store: DeviceStore, batches, n_samples,
+               label="Evaluating"):
     losses_acc, preds_acc, labels_acc, probs_acc = [], [], [], []
-    for i in range(batches.shape[0]):
-        losses, preds, labels, probs = eval_fn(variables, store.images,
-                                               jnp.asarray(batches[i]),
-                                               store.labels)
-        losses_acc.append(losses)
-        preds_acc.append(preds)
-        labels_acc.append(labels)
-        probs_acc.append(probs)
+    with EpochProgress(label, batches.shape[0]) as progress:
+        for i in range(batches.shape[0]):
+            losses, preds, labels, probs = eval_fn(variables, store.images,
+                                                   jnp.asarray(batches[i]),
+                                                   store.labels)
+            losses_acc.append(losses)
+            preds_acc.append(preds)
+            labels_acc.append(labels)
+            probs_acc.append(probs)
+            progress.update(i + 1)
     losses = np.concatenate(jax.device_get(losses_acc))[:n_samples]
     preds = np.concatenate(jax.device_get(preds_acc))[:n_samples]
     labels = np.concatenate(jax.device_get(labels_acc))[:n_samples]
@@ -261,7 +266,8 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
             state, tr_loss, tr_acc = _epoch_pass(
                 train_step, state, (real_dev, synth_dev), batches,
                 jnp.float32(ratio), jax.random.fold_in(k_train, epoch),
-                n_seen, synth_pool=synth_pool)
+                n_seen, synth_pool=synth_pool,
+                label=f"Train Epoch {epoch + 1}")
         history["train_loss"].append(tr_loss)
         history["train_acc"].append(tr_acc)
 
@@ -276,7 +282,8 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         v_losses, v_preds, v_labels, _ = _eval_pass(
-            eval_step, variables, val_store, val_batches, n_val_seen)
+            eval_step, variables, val_store, val_batches, n_val_seen,
+            label=f"Val Epoch {epoch + 1}")
         val_loss = float(v_losses.mean())
         val_acc = float(accuracy_score(v_labels, v_preds))
         history["val_loss"].append(val_loss)

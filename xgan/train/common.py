@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from xgan.ops.reduce import weighted_mean  # noqa: F401  (canonical home)
+
 
 @flax.struct.dataclass
 class ModelState:
@@ -32,20 +34,6 @@ def create_state(model, tx: optax.GradientTransformation, rng,
     batch_stats = variables.get("batch_stats", {})
     return ModelState(params=params, batch_stats=batch_stats,
                       opt_state=tx.init(params))
-
-
-def weighted_mean(values: jnp.ndarray, weights=None) -> jnp.ndarray:
-    """Mean of ``values``, or the weights-weighted mean — the reduction
-    the reference applies over its SMALLER final batch (tail-batch
-    exactness: padded rows carry weight 0)."""
-    values = values.astype(jnp.float32)
-    if weights is None:
-        return jnp.mean(values)
-    w = weights.astype(jnp.float32)
-    # max(sum, eps): an ALL-ZERO mask (a fully-padded lockstep batch in
-    # parallel folds) yields 0, not NaN; the caller freezes the state
-    # for such batches (classifier step empty-batch freeze).
-    return jnp.sum(values * w) / jnp.maximum(jnp.sum(w), 1e-9)
 
 
 def bce_with_logits(logits: jnp.ndarray, targets, weights=None) -> jnp.ndarray:

@@ -98,7 +98,8 @@ def trace_epoch(start_epoch: int, epochs: int) -> int:
 
 class EpochProgress:
     """Reference-style in-epoch progress (tqdm bars with a live postfix,
-    reference train_gan.py:118,162-163) — but SYNC-FREE: it reports only
+    reference train_gan.py:118,162-163, train_classifier.py:147,223) —
+    but SYNC-FREE: it reports only
     dispatch progress (batch counter + enqueue rate), never device
     values, because fetching a loss per batch would force a device sync
     every iteration — exactly the reference overhead the fused-epoch
@@ -106,10 +107,9 @@ class EpochProgress:
     a TTY (tqdm's own auto-disable behavior on non-interactive streams),
     so piped/driver logs stay clean."""
 
-    def __init__(self, epoch: int, epochs: int, num_batches: int,
-                 every: int = 1):
+    def __init__(self, label: str, num_batches: int, every: int = 1):
         self.enabled = sys.stdout.isatty()
-        self.prefix = f"Epoch {epoch + 1}/{epochs}"
+        self.prefix = label
         self.total = num_batches
         self.every = max(1, every)
         self.t0 = time.time()
@@ -126,3 +126,12 @@ class EpochProgress:
         if self.enabled:
             sys.stdout.write("\r\x1b[2K")
             sys.stdout.flush()
+
+    # Context manager: the line is cleared even when a dispatch raises
+    # mid-epoch, so tracebacks never print onto the partial \r line.
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -165,7 +165,6 @@ def make_parallel_steps(model, tx, *, mode: str, n_folds: int,
                 out_specs=(P("fold"), P("fold"), P("fold"), P("fold")),
                 axis_names={"fold"}, check_vma=False)(*args)
 
-        train_step = _shmapped
         eval_step = jax.shard_map(
             eval_body, mesh=pmesh,
             in_specs=(P("fold"), P(), P("fold"), P()),

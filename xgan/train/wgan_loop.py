@@ -122,8 +122,9 @@ def train_wgan(args):
                 getattr(args, "trace_dir", "")
                 if (getattr(args, "trace_dir", "")
                     and epoch == trace_epoch(start_epoch, args.epochs))
-                else None):
-            progress = EpochProgress(epoch, args.epochs, num_batches)
+                else None), \
+                EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
+                              num_batches) as progress:
             i = 0
             while i < num_batches:
                 chunk = (k_steps if (multi_fn is not None
@@ -160,7 +161,6 @@ def train_wgan(args):
                                    for x in jax.device_get(d_acc)])
             g_ep = np.concatenate([np.atleast_1d(np.asarray(x))
                                    for x in jax.device_get(g_acc)])
-        progress.close()
         timer.tick(num_batches)
         history["D_losses"].extend(d_ep.tolist())
         history["G_losses"].extend(g_ep.tolist())
