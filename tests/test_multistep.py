@@ -235,3 +235,34 @@ def test_grid_iters_cadence():
     assert grid_iters(6, 2, 500, True, 6, 8) == [7]
     # both conditions in one chunk
     assert grid_iters(499, 2, 500, True, 6, 8) == [500]
+
+
+def test_epoch_progress_clears_line_on_exception(monkeypatch, capsys):
+    """EpochProgress (loop_common): TTY-only in-epoch progress must clear
+    its \r line via __exit__ even when the epoch body raises, so
+    tracebacks never print onto the partial progress line."""
+    import io
+    import sys as _sys
+
+    from xgan.train.loop_common import EpochProgress
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    out = Tty()
+    monkeypatch.setattr(_sys, "stdout", out)
+    with pytest.raises(RuntimeError):
+        with EpochProgress("Train Epoch 3", 10) as progress:
+            progress.update(4)
+            raise RuntimeError("dispatch failed")
+    text = out.getvalue()
+    assert "Train Epoch 3: 4/10" in text
+    assert text.endswith("\r\x1b[2K")  # line cleared despite the raise
+
+    # non-TTY: fully silent (driver/pipe logs stay clean)
+    quiet = io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", quiet)
+    with EpochProgress("Epoch 1/2", 5) as progress:
+        progress.update(5)
+    assert quiet.getvalue() == ""
