@@ -43,7 +43,7 @@ class TorchBottleneck(tnn.Module):
 
 
 class TorchResNet50(tnn.Module):
-    def __init__(self, num_classes=2):
+    def __init__(self, num_classes=2, stages=(3, 4, 6, 3)):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
@@ -51,7 +51,7 @@ class TorchResNet50(tnn.Module):
         self.maxpool = tnn.MaxPool2d(3, 2, 1)
         layers, cin = [], 64
         for stage, (blocks, width) in enumerate(
-                zip((3, 4, 6, 3), (64, 128, 256, 512))):
+                zip(stages, (64, 128, 256, 512))):
             stage_layers = []
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1

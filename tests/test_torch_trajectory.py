@@ -681,3 +681,159 @@ def test_classifier_trajectory_matches_torch():
                             - tm.fc.bias.detach().numpy()))))
     print(f"[traj] classifier fc drift {fc_drift:.3e}")
     assert fc_drift < 2 * 1e-3 * N, fc_drift  # Adam walk bound (see dcgan)
+
+
+# ---------------------------------------------------------------------------
+# Classifier, UNFROZEN base (--unfreeze, train_classifier.py:613,716): the
+# heaviest numeric path — the full bottleneck-ResNet backward (BN
+# backward, projection shortcuts, strided + 1x1 convs), Adam on every
+# tensor, BN stats advancing in every layer.
+#
+# Two conditioning notes, both measured: (a) a multi-step LOSS comparison
+# is meaningless from random init — early-layer gradients are ~0, so
+# after one Adam step each such coordinate lands at ±lr with an
+# implementation-dependent sign, and depth amplifies that perturbation
+# into O(1) loss divergence by step 2; (b) at full (3,4,6,3) depth even
+# the FIRST backward is chaotic (train-BN at batch 4 through 53
+# random-init layers yields gradient norms ~450 that disagree wholesale
+# between fp32 implementations while the losses agree to 2e-3). The
+# (1,1,1,1) stage config exercises the identical backward semantics
+# (every block type, every conv geometry, BN backward, the frozen-vs-
+# unfrozen optimizer split) in a well-conditioned regime where gradient
+# parity is a meaningful assertion.
+# ---------------------------------------------------------------------------
+
+def test_classifier_unfrozen_backward_and_envelope_match_torch():
+    import tempfile
+
+    from tests.test_resnet_parity import TorchResNet50
+    from xgan.models.pretrained import save_torch_resnet50
+    from xgan.models.resnet import ResNet50
+    from xgan.train.classifier import classifier_optimizer, make_train_step, \
+        softmax_ce
+    from xgan.train.common import ModelState
+
+    N, BP, STAGES = 8, 16, (1, 1, 1, 1)
+    model = ResNet50(num_classes=2, stage_sizes=STAGES)
+    tx = classifier_optimizer(1e-3, freeze_base=False)
+    variables = model.init(jax.random.key(6),
+                           jnp.zeros((2, SIZE, SIZE, 3)), train=False)
+    state = ModelState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+
+    tm = TorchResNet50(num_classes=2, stages=STAGES)
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        save_torch_resnet50(f.name, state.params, state.batch_stats,
+                            stage_sizes=STAGES)
+        tm.load_state_dict(torch.load(f.name, map_location="cpu",
+                                      weights_only=True))
+
+    images = _store(2 * BP, seed=31)
+    labels_all = (np.arange(2 * BP) % 2).astype(np.int32)
+    x_np = _normalize(images[:BP])
+    y_np = labels_all[:BP]
+
+    # ---- (1) step-1 full-gradient parity (identical inputs, no flip)
+    def loss_fn(params):
+        logits, upd = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            jnp.asarray(x_np), train=True, mutable=["batch_stats"])
+        return jnp.mean(softmax_ce(logits, jnp.asarray(y_np))), \
+            upd["batch_stats"]
+
+    (our_loss, our_stats), our_grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    ce = tnn.CrossEntropyLoss()
+    tm.train()
+    tm.zero_grad()
+    t_logits = tm(_nchw(x_np))
+    t_loss = ce(t_logits, torch.from_numpy(y_np.astype(np.int64).copy()))
+    t_loss.backward()
+    assert abs(float(our_loss) - t_loss.item()) < 2e-3
+
+    # export our grads through the torchvision codec so tensor names and
+    # layouts line up 1:1 with tm's named_parameters
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        save_torch_resnet50(f.name, jax.tree_util.tree_map(np.asarray,
+                                                           our_grads),
+                            state.batch_stats, stage_sizes=STAGES)
+        grad_sd = torch.load(f.name, map_location="cpu", weights_only=True)
+    worst_rel, worst_cos, n_tensors = 0.0, 1.0, 0
+    for name, p in tm.named_parameters():
+        g_t = p.grad.detach().numpy().ravel()
+        g_o = grad_sd[name].numpy().ravel()
+        n_tensors += 1
+        rel = float(np.linalg.norm(g_o - g_t)
+                    / (np.linalg.norm(g_t) + 1e-12))
+        cos = float(np.dot(g_o, g_t)
+                    / ((np.linalg.norm(g_o) * np.linalg.norm(g_t))
+                       + 1e-24))
+        worst_rel, worst_cos = max(worst_rel, rel), min(worst_cos, cos)
+    # stem conv + 4 blocks x (3 convs + downsample) = 17 convs, 17 BN
+    # scale/bias pairs, fc weight/bias
+    assert n_tensors == 17 + 34 + 2, n_tensors
+    print(f"[traj] unfrozen backward: {n_tensors} grad tensors, "
+          f"worst rel {worst_rel:.3e}, worst cos {worst_cos:.6f}")
+    # measured: worst rel 7.8e-3, worst cos 0.99997 (~6x margin)
+    assert worst_rel < 5e-2, worst_rel
+    assert worst_cos > 0.999, worst_cos
+
+    # ---- (2) step-1 BN running stats, all buffers, via the exporter
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        save_torch_resnet50(f.name, state.params,
+                            jax.tree_util.tree_map(np.asarray, our_stats),
+                            stage_sizes=STAGES)
+        stats_sd = torch.load(f.name, map_location="cpu", weights_only=True)
+    t_sd = tm.state_dict()
+    worst, n_bufs = 0.0, 0
+    for k, v in t_sd.items():
+        if "running_mean" not in k and "running_var" not in k:
+            continue
+        n_bufs += 1
+        worst = max(worst, float(np.max(
+            np.abs(stats_sd[k].numpy() - v.detach().numpy())
+            / (np.abs(v.detach().numpy()) + 1e-3))))
+    assert n_bufs == 34, n_bufs  # 17 BN layers x (mean, var)
+    print(f"[traj] unfrozen step-1 BN stats drift {worst:.3e}")
+    assert worst < 1e-3, worst  # measured 3.4e-4
+
+    # ---- (3) N-step endpoint envelope through the REAL jitted step
+    step = make_train_step(model, tx, mode="real")
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.uint8)
+    dummy_labels = jnp.zeros((1,), jnp.int32)
+    idx = np.stack([(np.arange(BP) + BP * t) % (2 * BP) for t in range(N)])
+    k_data = jax.random.key(37)
+    for t in range(N):
+        state, losses, _, _ = step(
+            state, jnp.asarray(images), jnp.asarray(labels_all), dummy,
+            dummy_labels, jnp.asarray(idx[t]), jnp.float32(0.0),
+            jax.random.fold_in(k_data, t))
+        assert np.isfinite(float(jnp.mean(losses)))
+
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+    for t in range(N):
+        key_t = jax.random.fold_in(k_data, t)
+        _, k_flip = jax.random.split(key_t)
+        mask = np.asarray(jax.random.bernoulli(k_flip, 0.5, (BP,)))
+        x = _nchw(_normalize(_flip(images[idx[t]], mask)))
+        y = torch.from_numpy(labels_all[idx[t]].astype(np.int64).copy())
+        opt.zero_grad()
+        loss = ce(tm(x), y)
+        loss.backward()
+        opt.step()
+
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        save_torch_resnet50(f.name, state.params, state.batch_stats,
+                            stage_sizes=STAGES)
+        end_sd = torch.load(f.name, map_location="cpu", weights_only=True)
+    drift = 0.0
+    for name, p in tm.named_parameters():
+        drift = max(drift, float(np.max(np.abs(
+            end_sd[name].numpy() - p.detach().numpy()))))
+    print(f"[traj] unfrozen {N}-step endpoint drift {drift:.3e} "
+          f"(envelope {2 * 1e-3 * N})")
+    # Adam moves each coordinate by at most ~lr(1+eps) per step on both
+    # sides; wrong lr / a missed unfreeze / loss scaling breaks this.
+    assert drift < 2 * 1e-3 * N, drift  # measured 1.0e-2 vs 1.6e-2
