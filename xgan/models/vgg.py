@@ -62,8 +62,10 @@ class VGG16Features(nn.Module):
 def perceptual_loss(vgg_apply, vgg_params, x, y, weights=None):
     """Sum of per-block MSEs, as in reference train_cgan.py:66-73.
     ``weights``: optional (B,) validity weights — each block's mean then
-    covers only valid rows (tail-exact smaller final batch; all-zero
-    masks yield 0 so a frozen lockstep batch never produces NaN)."""
+    covers only valid rows (tail-exact smaller final batch). An all-zero
+    mask avoids 0/0 but does NOT launder NaN activations from padded
+    rows (see ops.reduce.weighted_mean); callers freeze/drop such
+    batches."""
     fx = vgg_apply(vgg_params, x)
     fy = vgg_apply(vgg_params, y)
     return layerwise_mse(fx, fy, weights)

@@ -21,8 +21,12 @@ def weighted_mean(values: jnp.ndarray, weights=None) -> jnp.ndarray:
         return jnp.mean(values)
     w = weights.astype(jnp.float32)
     # max(sum, eps): an ALL-ZERO mask (a fully-padded lockstep batch in
-    # parallel folds) yields 0, not NaN; the caller freezes the state
-    # for such batches (classifier step empty-batch freeze).
+    # parallel folds) avoids a 0/0. The result is 0 only for FINITE
+    # values; NaN per-sample values in masked rows (which fully-padded
+    # batches do produce) still propagate through sum(values * w) — by
+    # design: consumers must freeze the state / drop the metric for such
+    # batches (classifier step empty-batch freeze), not trust this
+    # reduction to launder them.
     return jnp.sum(values * w) / jnp.maximum(jnp.sum(w), 1e-9)
 
 

@@ -42,7 +42,8 @@ from xgan.train.common import ModelState
 from xgan.train.curriculum import (get_current_synthetic_ratio,
                                    parse_curriculum_schedule)
 from xgan.train.gan_loop import load_train_store, resolve_dtype
-from xgan.train.loop_common import EpochProgress, batch_tail_mask
+from xgan.train.loop_common import EpochProgress, batch_tail_mask, \
+    trace_epoch
 from xgan.utils import check_create_dir
 from xgan.utils.timer import maybe_trace
 
@@ -261,8 +262,9 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
         n_seen = min(len(epoch_space), batches.size)
         # Optional XLA profiler capture of one post-compile train phase
         # (epoch 1 when there is one, else the only epoch).
-        with maybe_trace(getattr(args, "trace_dir", "") if epoch == min(
-                1, args.epochs - 1) else None):
+        with maybe_trace(getattr(args, "trace_dir", "")
+                         if epoch == trace_epoch(0, args.epochs)
+                         else None):
             state, tr_loss, tr_acc = _epoch_pass(
                 train_step, state, (real_dev, synth_dev), batches,
                 jnp.float32(ratio), jax.random.fold_in(k_train, epoch),

@@ -107,15 +107,14 @@ class EpochProgress:
     a TTY (tqdm's own auto-disable behavior on non-interactive streams),
     so piped/driver logs stay clean."""
 
-    def __init__(self, label: str, num_batches: int, every: int = 1):
+    def __init__(self, label: str, num_batches: int):
         self.enabled = sys.stdout.isatty()
         self.prefix = label
         self.total = num_batches
-        self.every = max(1, every)
         self.t0 = time.time()
 
     def update(self, i: int) -> None:
-        if not self.enabled or (i % self.every and i != self.total):
+        if not self.enabled:
             return
         rate = i / max(time.time() - self.t0, 1e-9)
         sys.stdout.write(f"\r{self.prefix}: {i}/{self.total} batches "

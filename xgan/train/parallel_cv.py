@@ -21,6 +21,7 @@ from xgan.io_.metrics import write_json
 from xgan.train.classifier import classifier_optimizer
 from xgan.train.common import ModelState
 from xgan.train.curriculum import get_current_synthetic_ratio
+from xgan.train.loop_common import trace_epoch
 from xgan.utils.timer import maybe_trace
 from xgan.train.parallel_folds import (fold_epoch_batches, fold_masks,
                                        fold_mesh,
@@ -129,7 +130,7 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
         # Optional XLA profiler capture of one post-compile train phase;
         # exception-safe via the with-block.
         with maybe_trace(getattr(args, "trace_dir", "")
-                         if epoch == min(1, args.epochs - 1)
+                         if epoch == trace_epoch(0, args.epochs)
                          else None):
             for i in range(batches.shape[0]):
                 keys = jax.random.split(
