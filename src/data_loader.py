@@ -36,17 +36,11 @@ def main():
     from xgan import config
     config.apply_device_flag(args)
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
-    from sklearn.model_selection import KFold
 
     from xgan.data import check_dataset_availability
-    from xgan.data.mixer import mix_batch
-    from xgan.data.pipeline import epoch_batches, normalize_images
-    from xgan.data.store import decode_folder_store
-    from xgan.train.classifier import gather_concat
-    from xgan.train.classifier_loop import KFOLD_SEED
+    from xgan.data.pipeline import normalize_images
     from xgan.train.gan_loop import load_train_store
 
     print("\n--- Checking dataset availability ---")
@@ -67,7 +61,34 @@ def main():
               f"labels {np.asarray(labs).tolist()}, "
               f"label distribution {counts.tolist()}")
 
+    # Error envelope parity: the reference self-test wraps each exercised
+    # loader in try/except, prints the error + traceback and finishes
+    # cleanly instead of crashing (reference data_loader.py:775-810 —
+    # whose --test-mode flag is declared but never consumed; ours
+    # actually dispatches all five modes).
     mode = args.test_mode
+    try:
+        run_mode(args, mode, store, images, labels, rng, show_batch)
+    except Exception as e:  # noqa: BLE001 — reference self-test contract
+        import traceback
+        print(f"Error using {mode}: {e}")
+        traceback.print_exc()
+
+    print("\nData pipeline self-test finished.")
+
+
+def run_mode(args, mode, store, images, labels, rng, show_batch):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sklearn.model_selection import KFold
+
+    from xgan.data.mixer import mix_batch
+    from xgan.data.pipeline import epoch_batches
+    from xgan.data.store import decode_folder_store
+    from xgan.train.classifier import gather_concat
+    from xgan.train.classifier_loop import KFOLD_SEED
+
     if mode in ("basic", "kfold"):
         if mode == "basic":
             batch = epoch_batches(len(store), args.batch_size, rng)[0]
@@ -119,8 +140,6 @@ def main():
                                        jnp.float32(ratio),
                                        jax.random.key(0))
                 show_batch(f"phased batch ratio={ratio}", imgs, labs)
-
-    print("\nData pipeline self-test finished.")
 
 
 if __name__ == "__main__":

@@ -102,3 +102,38 @@ def test_data_loader_flags():
     d = defaults(load_parser("data_loader"))
     assert d["batch_size"] == 4 and d["k_folds"] == 3
     assert d["test_mode"] == "basic"
+
+
+def test_data_loader_self_test_error_envelope(fake_dataset, monkeypatch,
+                                              capsys, tmp_path):
+    """The self-test CLI must finish cleanly (no uncaught traceback, like
+    the reference's try/except envelope around each exercised loader,
+    reference data_loader.py:775-810) when a synthetic mode points at a
+    MISSING --synthetic-dir, and must run the mode for real when the dir
+    exists. (The reference declares --test-mode but never consumes it;
+    ours dispatches all five modes.)"""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cli_data_loader_run", os.path.join(SRC, "data_loader.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def run(*extra):
+        monkeypatch.setattr(sys, "argv", [
+            "data_loader.py", "--cpu", "--data-dir", fake_dataset["data_dir"],
+            "--image-size", "32", "--cache-dir", str(tmp_path / "cache"),
+            *extra])
+        mod.main()  # must not raise
+        return capsys.readouterr().out
+
+    out = run("--test-mode", "phased_kfold",
+              "--synthetic-dir", str(tmp_path / "missing"))
+    assert "Error using phased_kfold" in out
+    assert "self-test finished" in out
+
+    out = run("--test-mode", "phased_kfold",
+              "--synthetic-dir", fake_dataset["synthetic_dir"])
+    assert "Error using" not in out
+    assert "phased batch ratio=1.0" in out
+    assert "self-test finished" in out
