@@ -1,0 +1,50 @@
+"""Fail-fast contracts for explicit-path user errors.
+
+The reference's failure handling is try/except + early return with a
+printed message (reference train_classifier.py:597-604,
+generate_synthetic.py:26-32). For flags the reference does not have
+(--resume-from, --pretrained-path, --vgg-path are TPU-native extras),
+the same principle applies with fail-FAST semantics: a typo'd explicit
+path must abort before any compile/decode work, never silently restart
+or train from random init.
+"""
+from tests.test_fold_resume import _args as _clf_args
+from tests.test_gan_training import _gan_args
+
+
+def test_gan_explicit_missing_resume_fails_fast(fake_dataset, tmp_path,
+                                                capsys):
+    from xgan.train.gan_loop import train_dcgan
+    args = _gan_args(fake_dataset, tmp_path,
+                     resume_from=str(tmp_path / "typo.msgpack"))
+    assert train_dcgan(args) is None
+    out = capsys.readouterr().out
+    assert "Error: snapshot" in out and "typo.msgpack" in out
+
+
+def test_classifier_missing_pretrained_fails_fast(fake_dataset, tmp_path,
+                                                  capsys):
+    from xgan.train.classifier_loop import train_classifier
+    args = _clf_args(fake_dataset, tmp_path,
+                     pretrained_path=str(tmp_path / "typo.pth"))
+    assert train_classifier(args) is None
+    out = capsys.readouterr().out
+    assert "Error: pretrained checkpoint" in out
+
+
+def test_classifier_rejects_non_auto_resume(fake_dataset, tmp_path, capsys):
+    from xgan.train.classifier_loop import train_classifier
+    args = _clf_args(fake_dataset, tmp_path,
+                     resume_from=str(tmp_path / "snap.msgpack"))
+    assert train_classifier(args) is None
+    out = capsys.readouterr().out
+    assert "only --resume-from auto" in out
+
+
+def test_cgan_missing_vgg_fails_fast(fake_dataset, tmp_path, capsys):
+    from xgan.train.cgan_loop import train_cgan
+    args = _gan_args(fake_dataset, tmp_path,
+                     vgg_path=str(tmp_path / "typo_vgg.pth"))
+    assert train_cgan(args) is None
+    out = capsys.readouterr().out
+    assert "Error: VGG16 checkpoint" in out

@@ -35,15 +35,19 @@ def test_save_resume_roundtrip(tmp_path):
 
 
 def test_resume_missing_starts_fresh(tmp_path):
+    """'auto' with no snapshot starts fresh; an EXPLICIT missing path is
+    a user error and must fail fast (a typo'd --resume-from would
+    otherwise silently restart the run it was asked to continue)."""
+    import pytest
+
     mgr = SnapshotManager(str(tmp_path / "none.msgpack"))
     states = {"g": _state(3.0)}
     out, epoch, iters = mgr.try_resume("auto", states)
     assert (epoch, iters) == (0, 0)
     assert out is states
 
-    out, epoch, iters = mgr.try_resume(str(tmp_path / "gone.msgpack"),
-                                       states)
-    assert (epoch, iters) == (0, 0)
+    with pytest.raises(FileNotFoundError):
+        mgr.try_resume(str(tmp_path / "gone.msgpack"), states)
 
 
 def test_analyzer_excludes_historyless_run(tmp_path):

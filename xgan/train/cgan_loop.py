@@ -64,6 +64,12 @@ def _init_vgg(args, dtype, rng):
 
 
 def train_cgan(args):
+    # Fail fast on an explicit-path user error before any compile/decode.
+    vgg_path = getattr(args, "vgg_path", "")
+    if vgg_path and not os.path.exists(vgg_path):
+        print(f"Error: VGG16 checkpoint {vgg_path} not found.")
+        return None
+
     model_dir = check_create_dir(os.path.join(args.model_dir, "cgan"))
     image_dir = check_create_dir(os.path.join(args.output_dir,
                                               "cgan_images"))
@@ -141,9 +147,13 @@ def train_cgan(args):
     data_rng = np.random.default_rng(args.seed)
     snap_mgr = SnapshotManager(
         os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx)
-    states, start_epoch, iters = snap_mgr.try_resume(
-        getattr(args, "resume_from", ""),
-        {"g": g_state, "d": d_state})
+    try:
+        states, start_epoch, iters = snap_mgr.try_resume(
+            getattr(args, "resume_from", ""),
+            {"g": g_state, "d": d_state})
+    except FileNotFoundError as e:
+        print(f"Error: {e}")
+        return None
     g_state, d_state = states["g"], states["d"]
     replay_data_rng(len(store), batch_size, data_rng, start_epoch)
     history_path = os.path.join(metrics_dir, "cgan_training_history.json")

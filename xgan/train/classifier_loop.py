@@ -368,6 +368,18 @@ def train_classifier(args):
     run_prefix = f"{strategy}_"
     is_cv = args.k_folds > 1
 
+    # Fail fast on explicit-path user errors (before any compile/decode):
+    # a typo'd checkpoint path should not burn a training run.
+    pretrained = getattr(args, "pretrained_path", "")
+    if pretrained and not os.path.exists(pretrained):
+        print(f"Error: pretrained checkpoint {pretrained} not found.")
+        return None
+    resume = getattr(args, "resume_from", "")
+    if resume and resume != "auto":
+        print("Error: the classifier supports only --resume-from auto "
+              f"(fold-level resume); got {resume!r}.")
+        return None
+
     # --- Data ---
     try:
         train_store = load_train_store(args.data_dir, args.image_size,

@@ -135,9 +135,13 @@ def train_dcgan(args):
     data_rng = np.random.default_rng(args.seed)
     snap_mgr = SnapshotManager(
         os.path.join(gan_model_dir, "snapshot_last.msgpack"), mesh_ctx)
-    states, start_epoch, iters = snap_mgr.try_resume(
-        getattr(args, "resume_from", ""),
-        {"g": g_state, "d": d_state})
+    try:
+        states, start_epoch, iters = snap_mgr.try_resume(
+            getattr(args, "resume_from", ""),
+            {"g": g_state, "d": d_state})
+    except FileNotFoundError as e:
+        print(f"Error: {e}")
+        return None
     g_state, d_state = states["g"], states["d"]
     replay_data_rng(len(store), batch_size, data_rng, start_epoch)
     history = resume_history(history_path, history, start_epoch)

@@ -36,9 +36,12 @@ class SnapshotManager:
         if not resume_from:
             return states, 0, 0
         if not os.path.exists(resume_from):
-            print(f"Warning: snapshot {resume_from} not found; "
-                  "starting fresh.")
-            return states, 0, 0
+            # 'auto' already degraded to "" above when absent; an EXPLICIT
+            # path that doesn't exist is a user error — silently starting
+            # fresh would discard the run the user asked to continue.
+            raise FileNotFoundError(
+                f"snapshot {resume_from} not found (use --resume-from auto "
+                "to start fresh when no snapshot exists)")
         like = {name: jax.device_get(st) for name, st in states.items()}
         like["epoch"] = 0
         like["iters"] = 0

@@ -97,9 +97,13 @@ def train_wgan(args):
     data_rng = np.random.default_rng(args.seed)
     snap_mgr = SnapshotManager(
         os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx)
-    states, start_epoch, iters = snap_mgr.try_resume(
-        getattr(args, "resume_from", ""),
-        {"g": g_state, "c": c_state})
+    try:
+        states, start_epoch, iters = snap_mgr.try_resume(
+            getattr(args, "resume_from", ""),
+            {"g": g_state, "c": c_state})
+    except FileNotFoundError as e:
+        print(f"Error: {e}")
+        return None
     g_state, c_state = states["g"], states["c"]
     replay_data_rng(len(store), batch_size, data_rng, start_epoch)
     history_path = os.path.join(metrics_dir, "wgan_training_history.json")
