@@ -48,3 +48,32 @@ def test_cgan_missing_vgg_fails_fast(fake_dataset, tmp_path, capsys):
     assert train_cgan(args) is None
     out = capsys.readouterr().out
     assert "Error: VGG16 checkpoint" in out
+
+
+def test_sampler_mismatched_msgpack_fails_with_message(tmp_path, capsys):
+    """A checkpoint saved with different model flags must fail the
+    sampler's load with the clear 'Ensure the model flags ... match
+    training' message (the reference's state-dict analog,
+    generate_synthetic.py:28-32), not an opaque ScopeParamShapeError at
+    apply time — flax deserialization restores mismatched shapes without
+    complaint."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from xgan.io_.checkpoint import save_variables
+    from xgan.models import dcgan
+    from xgan.train.sample import load_generator
+
+    small = dcgan.Generator(latent_dim=16, feature_maps=8, image_size=32)
+    vs = small.init(jax.random.key(0), jnp.zeros((2, 16)), train=False)
+    path = str(tmp_path / "gen.msgpack")
+    save_variables(path, {"params": vs["params"],
+                          "batch_stats": vs["batch_stats"]})
+
+    big = dcgan.Generator(latent_dim=16, feature_maps=16, image_size=32)
+    with pytest.raises(SystemExit):
+        load_generator(big, path, (jnp.zeros((2, 16)),))
+    out = capsys.readouterr().out
+    assert "checkpoint shape" in out
+    assert "match training" in out

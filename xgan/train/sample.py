@@ -49,22 +49,25 @@ def load_generator(model, path: str, example_args, example_kwargs=None,
             loader = GENERATOR_TORCH_CODECS[torch_kind][0]
             params, stats = loader(path)
             loaded = {"params": params, "batch_stats": stats}
-            # Shape-check against the initialized structure so flag
-            # mismatches fail with the same clear message as msgpack.
             if (jax.tree_util.tree_structure(like)
                     != jax.tree_util.tree_structure(loaded)):
                 raise ValueError(
                     f"state-dict layout does not match a {torch_kind} "
                     f"generator")
-            want = jax.tree_util.tree_flatten_with_path(like)[0]
-            got = jax.tree_util.tree_flatten_with_path(loaded)[0]
-            for (pa, a), (_, b) in zip(want, got):
-                if np.shape(a) != np.shape(b):
-                    raise ValueError(
-                        f"{jax.tree_util.keystr(pa)}: checkpoint shape "
-                        f"{np.shape(b)} != expected {np.shape(a)}")
-            return loaded
-        return load_variables(path, like)
+        else:
+            loaded = load_variables(path, like)
+        # Shape-check both formats against the initialized structure:
+        # flax deserialization restores mismatched-flag checkpoints
+        # without complaint and the error would otherwise surface as an
+        # opaque ScopeParamShapeError at apply time.
+        want = jax.tree_util.tree_flatten_with_path(like)[0]
+        got = jax.tree_util.tree_flatten_with_path(loaded)[0]
+        for (pa, a), (_, b) in zip(want, got):
+            if np.shape(a) != np.shape(b):
+                raise ValueError(
+                    f"{jax.tree_util.keystr(pa)}: checkpoint shape "
+                    f"{np.shape(b)} != expected {np.shape(a)}")
+        return loaded
     except Exception as e:
         print(f"Error loading generator checkpoint: {e}")
         print("Ensure the model flags (--latent-dim/--feature-maps-g/"
