@@ -45,6 +45,12 @@ def main():
     from xgan.native import decode_png_batch
     from xgan.parallel import create_mesh
 
+    if not os.path.exists(args.model_path):
+        print(f"Error: model checkpoint not found at {args.model_path}")
+        sys.exit(1)
+    if not os.path.isdir(args.input_dir):
+        print(f"Error: input dir {args.input_dir} not found")
+        sys.exit(1)
     files = sorted(f for f in os.listdir(args.input_dir)
                    if f.endswith(".png"))
     if not files:

@@ -77,3 +77,23 @@ def test_sampler_mismatched_msgpack_fails_with_message(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "checkpoint shape" in out
     assert "match training" in out
+
+
+def test_resume_auto_with_changed_flags_fails_with_message(fake_dataset,
+                                                           tmp_path,
+                                                           capsys):
+    """--resume-from auto after changing model flags must fail with the
+    shape-mismatch message, not an opaque ScopeParamShapeError at step
+    time (flax deserialization restores mismatched snapshots without
+    complaint)."""
+    from xgan.train.gan_loop import train_dcgan
+
+    args = _gan_args(fake_dataset, tmp_path, epochs=1)
+    assert train_dcgan(args) is not None
+    capsys.readouterr()
+
+    args2 = _gan_args(fake_dataset, tmp_path, epochs=2, feature_maps_g=16,
+                      resume_from="auto")
+    assert train_dcgan(args2) is None
+    out = capsys.readouterr().out
+    assert "does not match the current model flags" in out

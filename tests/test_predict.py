@@ -44,9 +44,22 @@ def test_predict_cli(tmp_path, fake_dataset):
 def test_predict_cli_empty_dir(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
+    dummy_model = tmp_path / "dummy.msgpack"
+    dummy_model.write_bytes(b"")
+
+    # missing model path: clean fail-fast message, no traceback
     r = subprocess.run(
         [sys.executable, os.path.join(SRC, "predict.py"), "--cpu",
          "--model-path", "whatever.msgpack", "--input-dir", str(empty)],
+        capture_output=True, text=True, timeout=200)
+    assert r.returncode == 1
+    assert "Error: model checkpoint not found" in r.stdout
+    assert "Traceback" not in r.stderr
+
+    # empty input dir (model path exists and is checked first)
+    r = subprocess.run(
+        [sys.executable, os.path.join(SRC, "predict.py"), "--cpu",
+         "--model-path", str(dummy_model), "--input-dir", str(empty)],
         capture_output=True, text=True, timeout=200)
     assert r.returncode == 1
     assert "No PNGs found" in r.stdout

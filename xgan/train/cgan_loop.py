@@ -151,7 +151,7 @@ def train_cgan(args):
         states, start_epoch, iters = snap_mgr.try_resume(
             getattr(args, "resume_from", ""),
             {"g": g_state, "d": d_state})
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         print(f"Error: {e}")
         return None
     g_state, d_state = states["g"], states["d"]

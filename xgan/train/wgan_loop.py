@@ -101,7 +101,7 @@ def train_wgan(args):
         states, start_epoch, iters = snap_mgr.try_resume(
             getattr(args, "resume_from", ""),
             {"g": g_state, "c": c_state})
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         print(f"Error: {e}")
         return None
     g_state, c_state = states["g"], states["c"]
