@@ -40,7 +40,7 @@ def main():
     import numpy as np
 
     from xgan.data.pipeline import normalize_images
-    from xgan.io_.checkpoint import load_variables
+    from xgan.io_.checkpoint import load_variables_checked
     from xgan.models.resnet import ResNet50
     from xgan.native import decode_png_batch
     from xgan.parallel import create_mesh
@@ -62,9 +62,15 @@ def main():
     like = model.init(jax.random.key(0),
                       jnp.zeros((1, args.image_size, args.image_size, 3)),
                       train=False)
-    variables = load_variables(args.model_path,
-                               {"params": like["params"],
-                                "batch_stats": like["batch_stats"]})
+    try:
+        variables = load_variables_checked(
+            args.model_path, {"params": like["params"],
+                              "batch_stats": like["batch_stats"]})
+    except Exception as e:  # noqa: BLE001 — structured CLI error contract
+        print(f"Error loading classifier checkpoint: {e}")
+        print("Ensure --model-path is a classifier .msgpack written by "
+              "src/train_classifier.py (full ResNet-50).")
+        sys.exit(1)
 
     mesh_ctx = create_mesh()
     batch = mesh_ctx.pad_batch(args.batch_size)

@@ -97,3 +97,41 @@ def test_resume_auto_with_changed_flags_fails_with_message(fake_dataset,
     assert train_dcgan(args2) is None
     out = capsys.readouterr().out
     assert "does not match the current model flags" in out
+
+
+def test_classifier_fold_resume_mismatch_fails_with_message(fake_dataset,
+                                                            tmp_path,
+                                                            capsys):
+    """A fold checkpoint written under different --resnet-stages must
+    abort the resumed CV run with a clear message — NOT silently retrain
+    the fold (the silent-restart trap) or crash later in evaluation."""
+    from xgan.train.classifier_loop import train_classifier
+
+    args = _clf_args(fake_dataset, tmp_path)
+    assert train_classifier(args) is not None
+    capsys.readouterr()
+
+    args2 = _clf_args(fake_dataset, tmp_path, resume_from="auto",
+                      resnet_stages=(1, 1, 2, 1))
+    assert train_classifier(args2) is None
+    captured = capsys.readouterr()
+    # A deeper-stage mismatch is a STRUCTURE mismatch, so flax's own
+    # ValueError ("dict keys do not match") fires inside load_variables
+    # before the leaf shape check; either way the contract is a printed
+    # Error + early return, never a traceback or a silent fold retrain.
+    assert "Error:" in captured.out
+    assert "do not match" in captured.out
+    assert "Traceback" not in captured.err
+
+
+def test_classifier_non_cv_auto_resume_prints_notice(fake_dataset,
+                                                     tmp_path, capsys):
+    """--resume-from auto on a single (non-CV) run is not silently a
+    no-op: the loop prints that no resume mechanism applies."""
+    from xgan.train.classifier_loop import train_classifier
+
+    args = _clf_args(fake_dataset, tmp_path, k_folds=1,
+                     resume_from="auto")
+    assert train_classifier(args) is not None
+    out = capsys.readouterr().out
+    assert "has no effect on single (non-CV) classifier runs" in out

@@ -32,3 +32,31 @@ def load_variables(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(like, data)
+
+
+def check_leaf_shapes(like: Dict[str, Any], loaded: Dict[str, Any],
+                      context: str) -> None:
+    """Raise ValueError naming the first leaf whose shape differs.
+
+    flax deserialization restores a checkpoint written under different
+    model flags without complaint; unchecked, the mismatch surfaces much
+    later as an opaque ScopeParamShapeError at apply/step time. Every
+    checkpoint-load site shares this one validator."""
+    want = jax.tree_util.tree_flatten_with_path(like)[0]
+    got = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    for (pa, a), (_, b) in zip(want, got):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"{context}: {jax.tree_util.keystr(pa)} has checkpoint "
+                f"shape {np.shape(b)}, expected {np.shape(a)}")
+
+
+def load_variables_checked(path: str, like: Dict[str, Any],
+                           context: str = None) -> Dict[str, Any]:
+    """load_variables + per-leaf shape validation (clear early error
+    instead of a deferred flax shape crash)."""
+    loaded = load_variables(path, like)
+    check_leaf_shapes(like, loaded, context or
+                      f"checkpoint {path} does not match the current "
+                      "model flags")
+    return loaded

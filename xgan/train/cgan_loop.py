@@ -36,7 +36,7 @@ from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import batch_tail_mask, grid_iters, \
     EpochProgress, export_generator_pth, replay_data_rng, \
-    resume_history, trace_epoch
+    resume_history, resume_preflight, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -70,6 +70,8 @@ def train_cgan(args):
         print(f"Error: VGG16 checkpoint {vgg_path} not found.")
         return None
 
+    if not resume_preflight(args):
+        return None
     model_dir = check_create_dir(os.path.join(args.model_dir, "cgan"))
     image_dir = check_create_dir(os.path.join(args.output_dir,
                                               "cgan_images"))

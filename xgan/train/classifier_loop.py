@@ -333,14 +333,20 @@ def _load_completed_fold(args, fold, strategy, dtype):
         history = json.load(f)
     if len(history.get("epoch", [])) < args.epochs:
         return None  # fold was itself interrupted; retrain it
-    from xgan.io_.checkpoint import load_variables
+    from xgan.io_.checkpoint import load_variables_checked
     model = ResNet50(num_classes=2, dtype=dtype,
                      stage_sizes=_resnet_stages(args))
     like = model.init(jax.random.key(0),
                       jnp.zeros((1, args.image_size, args.image_size, 3)),
                       train=False)
     like = {"params": like["params"], "batch_stats": like["batch_stats"]}
-    return load_variables(ckpt_path, like), history
+    # A mismatched/corrupt fold checkpoint must NOT fall through to a
+    # silent retrain (the silent-restart trap): the raised ValueError is
+    # reported by the caller with the early-return convention.
+    return load_variables_checked(
+        ckpt_path, like,
+        f"fold checkpoint {ckpt_path} does not match the current model "
+        "flags"), history
 
 
 def train_classifier(args):
@@ -379,6 +385,10 @@ def train_classifier(args):
         print("Error: the classifier supports only --resume-from auto "
               f"(fold-level resume); got {resume!r}.")
         return None
+    if resume == "auto" and not is_cv:
+        # Not silently a no-op: fold-level resume exists only under CV.
+        print("Note: --resume-from auto has no effect on single (non-CV) "
+              "classifier runs; training from scratch.")
 
     # --- Data ---
     try:
@@ -472,8 +482,12 @@ def train_classifier(args):
         for fold, (tr_idx, val_idx) in enumerate(
                 kf.split(range(len(train_store)))):
             print(f"\n===== Fold {fold + 1} / {args.k_folds} =====")
-            done = _load_completed_fold(args, fold + 1, strategy, dtype) \
-                if resume else None
+            try:
+                done = _load_completed_fold(args, fold + 1, strategy,
+                                            dtype) if resume else None
+            except ValueError as e:
+                print(f"Error: {e}")
+                return None
             if done is not None:
                 print(f"Resuming: fold {fold + 1} already trained; "
                       "loading its checkpoint and history.")

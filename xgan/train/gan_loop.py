@@ -25,7 +25,7 @@ from xgan.train.common import adam, create_state
 from xgan.train.gan import make_dcgan_step
 from xgan.train.loop_common import batch_tail_mask, grid_iters, \
     EpochProgress, export_generator_pth, replay_data_rng, \
-    resume_history, trace_epoch
+    resume_history, resume_preflight, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -59,6 +59,8 @@ def train_dcgan(args):
     batch_size, lr, beta1, workers, vis_batch_size, save_interval,
     checkpoint_interval, cpu) + TPU-native extras (image_size, seed,
     compute_dtype, cache_dir, limit_batches, trace_dir)."""
+    if not resume_preflight(args):
+        return None
     gan_model_dir = check_create_dir(os.path.join(args.model_dir, "gan"))
     gan_output_dir = check_create_dir(
         os.path.join(args.output_dir, "gan_images"))

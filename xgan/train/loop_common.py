@@ -69,6 +69,19 @@ def export_generator_pth(model_dir: str, kind: str, g_state) -> None:
         print(f"Warning: could not write {path}: {e}")
 
 
+def resume_preflight(args) -> bool:
+    """Existence check for an EXPLICIT --resume-from path, run before the
+    (potentially minutes-long) dataset decode so a typo'd path aborts
+    immediately; SnapshotManager.try_resume keeps the authoritative raise
+    as a backstop. 'auto' and '' always pass."""
+    r = getattr(args, "resume_from", "")
+    if r and r != "auto" and not os.path.exists(r):
+        print(f"Error: snapshot {r} not found (use --resume-from auto to "
+              "start fresh when no snapshot exists)")
+        return False
+    return True
+
+
 def batch_tail_mask(n_valid: int, num_batches: int, batch_size: int):
     """0/1 float32 validity mask for the FINAL batch of an epoch, or None
     when that batch is full. pipeline.epoch_batches wrap-pads the last

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xgan.data.pipeline import tanh_to_u8
-from xgan.io_.checkpoint import load_variables
+from xgan.io_.checkpoint import check_leaf_shapes, load_variables
 from xgan.parallel import create_mesh
 from xgan.utils import StepTimer, check_create_dir
 
@@ -56,17 +56,12 @@ def load_generator(model, path: str, example_args, example_kwargs=None,
                     f"generator")
         else:
             loaded = load_variables(path, like)
-        # Shape-check both formats against the initialized structure:
-        # flax deserialization restores mismatched-flag checkpoints
-        # without complaint and the error would otherwise surface as an
-        # opaque ScopeParamShapeError at apply time.
-        want = jax.tree_util.tree_flatten_with_path(like)[0]
-        got = jax.tree_util.tree_flatten_with_path(loaded)[0]
-        for (pa, a), (_, b) in zip(want, got):
-            if np.shape(a) != np.shape(b):
-                raise ValueError(
-                    f"{jax.tree_util.keystr(pa)}: checkpoint shape "
-                    f"{np.shape(b)} != expected {np.shape(a)}")
+        # Both formats validate every leaf against the initialized
+        # structure (shared checker — clear error instead of a deferred
+        # ScopeParamShapeError at apply time).
+        check_leaf_shapes(like, loaded,
+                          f"checkpoint {path} does not match the model "
+                          "flags")
         return loaded
     except Exception as e:
         print(f"Error loading generator checkpoint: {e}")

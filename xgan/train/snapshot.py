@@ -10,9 +10,9 @@ import os
 from typing import Dict, Tuple
 
 import jax
-import numpy as np
 
-from xgan.io_.checkpoint import load_variables, save_variables
+from xgan.io_.checkpoint import check_leaf_shapes, load_variables, \
+    save_variables
 from xgan.train.common import ModelState
 
 
@@ -47,18 +47,9 @@ class SnapshotManager:
         like["epoch"] = 0
         like["iters"] = 0
         snap = load_variables(resume_from, like)
-        # Shape-check: flax deserialization restores a snapshot written
-        # under different model flags without complaint, and the mismatch
-        # would otherwise surface as an opaque ScopeParamShapeError at
-        # step time.
-        want = jax.tree_util.tree_flatten_with_path(like)[0]
-        got = jax.tree_util.tree_flatten_with_path(snap)[0]
-        for (pa, a), (_, b) in zip(want, got):
-            if np.shape(a) != np.shape(b):
-                raise ValueError(
-                    f"snapshot {resume_from} does not match the current "
-                    f"model flags: {jax.tree_util.keystr(pa)} has shape "
-                    f"{np.shape(b)}, expected {np.shape(a)}")
+        check_leaf_shapes(like, snap,
+                          f"snapshot {resume_from} does not match the "
+                          "current model flags")
         out = {}
         for name in states:
             st = snap[name]

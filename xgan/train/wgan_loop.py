@@ -23,7 +23,7 @@ from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import batch_tail_mask, grid_iters, \
     EpochProgress, export_generator_pth, replay_data_rng, \
-    resume_history, trace_epoch
+    resume_history, resume_preflight, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.train.wgan import make_wgan_step
 from xgan.utils import StepTimer, check_create_dir
@@ -31,6 +31,8 @@ from xgan.utils.timer import maybe_trace
 
 
 def train_wgan(args):
+    if not resume_preflight(args):
+        return None
     model_dir = check_create_dir(os.path.join(args.model_dir, "wgan"))
     image_dir = check_create_dir(os.path.join(args.output_dir,
                                               "wgan_images"))
