@@ -9,6 +9,8 @@ Chain (the reference's documented workflow, README.md of the reference):
                                               (src/train_classifier.py)
   5. analyze: comparison plots, report, SSIM, Grad-CAM
                                               (src/analyze_results.py)
+  6. batch-classify the synthetic images with the trained single-run
+     checkpoint                               (src/predict.py)
 
 Usage: python tools/run_pipeline_demo.py [--workdir DIR] [--image-size 32]
        [--tpu]   (default runs on CPU; --tpu uses the default backend)
@@ -103,9 +105,14 @@ def main():
         "--synthetic-dir", synth,
         "--image-size", str(args.image_size),
         "--num-ssim-real", "10", "--num-ssim-synth", "10")
+    run("predict.py", *dev,
+        "--model-path", f"{w}/models/baseline_resnet50.msgpack",
+        "--input-dir", synth,
+        "--output", f"{w}/results/predictions.json",
+        "--image-size", str(args.image_size), "--batch-size", "8")
 
     print(f"\nDemo complete. Artifacts under {w}/results "
-          f"(metrics/, figures/, analysis/).")
+          f"(metrics/, figures/, analysis/, predictions.json).")
 
 
 if __name__ == "__main__":
