@@ -4,9 +4,11 @@ capability: the reference pipeline can train and analyze but has no
 standalone prediction entry point).
 
 Classifies every PNG in --input-dir with a {prefix}resnet50.msgpack
-checkpoint and writes predictions.json: per-image predicted label and
-positive-class probability, plus summary counts. Decoding uses the native
-threaded codec; inference is a jitted, mesh-sharded eval step.
+checkpoint — or a reference-layout torchvision .pth (what the reference's
+train_classifier.py:179-184 writes), detected by extension — and writes
+predictions.json: per-image predicted label and positive-class
+probability, plus summary counts. Decoding uses the native threaded
+codec; inference is a jitted, mesh-sharded eval step.
 """
 import argparse
 import json
@@ -21,7 +23,8 @@ def build_parser():
         description="Classify a folder of chest X-ray PNGs with a trained "
                     "xgan ResNet-50 checkpoint")
     p.add_argument("--model-path", type=str, required=True,
-                   help="e.g. models/baseline_resnet50.msgpack")
+                   help="e.g. models/baseline_resnet50.msgpack (or a "
+                        "torchvision-layout .pth from the reference)")
     p.add_argument("--input-dir", type=str, required=True)
     p.add_argument("--output", type=str, default="predictions.json")
     p.add_argument("--batch-size", type=int, default=64)
@@ -40,7 +43,7 @@ def main():
     import numpy as np
 
     from xgan.data.pipeline import normalize_images
-    from xgan.io_.checkpoint import load_variables_checked
+    from xgan.io_.checkpoint import load_classifier_variables
     from xgan.models.resnet import ResNet50
     from xgan.native import decode_png_batch
     from xgan.parallel import create_mesh
@@ -63,13 +66,14 @@ def main():
                       jnp.zeros((1, args.image_size, args.image_size, 3)),
                       train=False)
     try:
-        variables = load_variables_checked(
+        variables = load_classifier_variables(
             args.model_path, {"params": like["params"],
                               "batch_stats": like["batch_stats"]})
     except Exception as e:  # noqa: BLE001 — structured CLI error contract
         print(f"Error loading classifier checkpoint: {e}")
         print("Ensure --model-path is a classifier .msgpack written by "
-              "src/train_classifier.py (full ResNet-50).")
+              "src/train_classifier.py, or a torchvision-layout .pth "
+              "(full ResNet-50, 2-way head).")
         sys.exit(1)
 
     mesh_ctx = create_mesh()

@@ -136,8 +136,10 @@ def test_eigen_smooth_degenerate_shapes():
     assert out.shape == (4, 4) and np.isfinite(out).all()
 
 
-def test_gradcam_on_trained_checkpoint(tmp_path, fake_dataset):
-    """Grad-CAM panel generation from a real (tiny) checkpoint."""
+def test_gradcam_on_trained_checkpoint(tmp_path, fake_dataset, capsys):
+    """Grad-CAM panel generation from a real (tiny) checkpoint, plus a
+    reference-layout .pth-only checkpoint (torchvision state dict) that
+    the loader must pick up by extension fallback."""
     import jax
     from xgan.analysis import generate_grad_cam_comparison, grad_cam_resnet
     from xgan.io_.checkpoint import save_variables
@@ -159,10 +161,22 @@ def test_gradcam_on_trained_checkpoint(tmp_path, fake_dataset):
     mdir = tmp_path / "models"
     mdir.mkdir()
     save_variables(str(mdir / "baseline_resnet50.msgpack"), variables)
+    try:
+        from xgan.models.pretrained import save_torch_resnet50
+        save_torch_resnet50(str(mdir / "augmented_resnet50.pth"),
+                            variables["params"], variables["batch_stats"])
+        expect_loaded = 2
+    except ImportError:  # torch absent: msgpack-only path still covered
+        expect_loaded = 1
     out = tmp_path / "analysis"
     out.mkdir()
     generate_grad_cam_comparison(
         str(mdir), fake_dataset["data_dir"], fake_dataset["synthetic_dir"],
         str(out), num_samples=1, image_size=32)
+    stdout = capsys.readouterr().out
+    loaded = [l for l in stdout.splitlines() if l.startswith("Loaded model")]
+    assert len(loaded) == expect_loaded
+    if expect_loaded == 2:
+        assert any(l.endswith("augmented_resnet50.pth") for l in loaded)
     panels = list(out.glob("gradcam_*.png"))
     assert len(panels) == 3  # real_pos, real_neg, synthetic

@@ -40,6 +40,24 @@ def test_predict_cli(tmp_path, fake_dataset):
     assert set(p0.keys()) == {"file", "label", "prob_positive"}
     assert 0.0 <= p0["prob_positive"] <= 1.0
 
+    # Same checkpoint as a reference-layout torchvision .pth (extension-
+    # detected) must produce identical predictions — the conversion is
+    # pure layout transposes, no numeric change.
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from xgan.models.pretrained import save_torch_resnet50
+    pth = str(tmp_path / "baseline_resnet50.pth")
+    save_torch_resnet50(pth, variables["params"], variables["batch_stats"])
+    out2 = str(tmp_path / "preds_pth.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SRC, "predict.py"), "--cpu",
+         "--model-path", pth,
+         "--input-dir", os.path.join(fake_dataset["data_dir"], "Test"),
+         "--output", out2, "--image-size", "32", "--batch-size", "4"],
+        capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data2 = json.loads(open(out2).read())
+    assert data2["predictions"] == data["predictions"]
+
 
 def test_predict_cli_empty_dir(tmp_path):
     empty = tmp_path / "empty"

@@ -76,3 +76,51 @@ def test_export_import_roundtrip_identity(tmp_path):
         np.testing.assert_array_equal(np.asarray(v1, np.float32),
                                       np.asarray(v2, np.float32),
                                       err_msg=str(k1))
+
+
+def test_load_classifier_variables_both_formats(tmp_path):
+    """The extension-aware classifier reader (analysis Grad-CAM +
+    src/predict.py) returns identical trees from our msgpack and from a
+    reference-layout torchvision .pth, deriving stage sizes from the
+    ``like`` tree."""
+    from xgan.io_.checkpoint import (load_classifier_variables,
+                                     save_variables)
+
+    _, params, stats = _init_flax(rng_seed=7, stage_sizes=(1, 1, 1, 1),
+                                  size=32)
+    variables = {"params": params, "batch_stats": stats}
+    mp = str(tmp_path / "baseline_resnet50.msgpack")
+    pp = str(tmp_path / "baseline_resnet50.pth")
+    save_variables(mp, variables)
+    save_torch_resnet50(pp, params, stats, stage_sizes=(1, 1, 1, 1))
+
+    like = jax.tree_util.tree_map(np.zeros_like, variables)
+    a = load_classifier_variables(mp, like)
+    b = load_classifier_variables(pp, like)
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for va, vb in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(va, np.float32),
+                                      np.asarray(vb, np.float32))
+
+
+def test_load_classifier_variables_rejects_imagenet_head(tmp_path):
+    """A .pth whose fc is not num_classes-way (e.g. a raw 1000-way
+    ImageNet backbone) must fail with the structured fc-head message,
+    not load a half-initialized tree."""
+    from xgan.io_.checkpoint import load_classifier_variables
+
+    _, params, stats = _init_flax(rng_seed=9, stage_sizes=(1, 1, 1, 1),
+                                  size=32)
+    path = str(tmp_path / "backbone.pth")
+    save_torch_resnet50(path, params, stats, stage_sizes=(1, 1, 1, 1))
+    # rewrite the head as 1000-way, as an ImageNet checkpoint would have
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd["fc.weight"] = torch.zeros((1000, sd["fc.weight"].shape[1]))
+    sd["fc.bias"] = torch.zeros((1000,))
+    torch.save(sd, path)
+
+    like = {"params": params, "batch_stats": stats}
+    with pytest.raises(ValueError, match="fc head"):
+        load_classifier_variables(path, like)

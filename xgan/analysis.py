@@ -384,7 +384,7 @@ def generate_grad_cam_comparison(model_dir: str, data_dir: str,
     from PIL import Image
 
     from xgan.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
-    from xgan.io_.checkpoint import load_variables
+    from xgan.io_.checkpoint import load_classifier_variables
     from xgan.models.resnet import ResNet50
 
     print("\n--- Generating Grad-CAM Comparison ---")
@@ -398,16 +398,23 @@ def generate_grad_cam_comparison(model_dir: str, data_dir: str,
 
     models = {}
     for prefix in ["baseline_", "augmented_", "curriculum_"]:
-        path = Path(model_dir) / f"{prefix}resnet50.msgpack"
-        if path.exists():
+        # Prefer our msgpack; fall back to the reference's torchvision
+        # .pth (what its train_classifier.py:179-184 writes and its
+        # analyzer loads, analyze_results.py:455-470) so reference-trained
+        # classifiers can be Grad-CAM'd here directly.
+        candidates = [Path(model_dir) / f"{prefix}resnet50.msgpack",
+                      Path(model_dir) / f"{prefix}resnet50.pth"]
+        path = next((p for p in candidates if p.exists()), None)
+        if path is not None:
             try:
-                models[prefix[:-1]] = load_variables(str(path), like)
+                models[prefix[:-1]] = load_classifier_variables(
+                    str(path), like)
                 print(f"Loaded model: {path}")
             except Exception as e:
                 print(f"Warning: failed to load {path}: {e}")
         else:
             print(f"Info: model file not found, skipping Grad-CAM for "
-                  f"{prefix[:-1]}: {path}")
+                  f"{prefix[:-1]}: {candidates[0]}")
     if not models:
         print("Error: no models loaded successfully for Grad-CAM.")
         return

@@ -60,3 +60,51 @@ def load_variables_checked(path: str, like: Dict[str, Any],
                       f"checkpoint {path} does not match the current "
                       "model flags")
     return loaded
+
+
+def load_classifier_variables(path: str,
+                              like: Dict[str, Any]) -> Dict[str, Any]:
+    """Extension-aware classifier checkpoint reader.
+
+    ``.msgpack`` is our native format; a ``.pth``/``.pt`` path is read as
+    a torchvision ``resnet50`` state dict — the reference's classifier
+    checkpoint format (reference train_classifier.py:179-184, loaded back
+    by analyze_results.py:455-470) — via the converter in
+    xgan.models.pretrained. This mirrors the generator ``.pth`` interop in
+    xgan.train.sample.load_generator: a reference-trained classifier can
+    be analyzed (Grad-CAM) and served (src/predict.py) directly.
+
+    Stage sizes are derived from ``like`` (the initialized model tree), so
+    the importer always targets the exact architecture the caller built.
+    Both formats get per-leaf shape validation.
+    """
+    if path.endswith((".pth", ".pt")):
+        from xgan.models.pretrained import load_torch_resnet50
+        num_classes = int(np.shape(like["params"]["fc"]["bias"])[0])
+        stage_sizes = tuple(
+            sum(1 for k in like["params"] if k.startswith(f"layer{s}_"))
+            for s in range(1, 5))
+        try:
+            params, stats = load_torch_resnet50(
+                path, num_classes=num_classes, stage_sizes=stage_sizes)
+        except KeyError as e:
+            raise ValueError(
+                f"{path}: state dict is missing {e} — not a torchvision "
+                f"resnet50 of stages {stage_sizes}") from e
+        if "fc" not in params:
+            raise ValueError(
+                f"{path}: state dict has no {num_classes}-way fc head — "
+                "this looks like a raw ImageNet backbone, not a trained "
+                "classifier (backbones go to --pretrained-path)")
+        loaded = {"params": params, "batch_stats": stats}
+        if (jax.tree_util.tree_structure(like)
+                != jax.tree_util.tree_structure(loaded)):
+            raise ValueError(
+                f"{path}: state-dict layout does not match a torchvision "
+                f"resnet50 of stages {stage_sizes}")
+    else:
+        loaded = load_variables(path, like)
+    check_leaf_shapes(like, loaded,
+                      f"checkpoint {path} does not match the current "
+                      "model flags")
+    return loaded
