@@ -46,6 +46,64 @@ def test_decode_missing_file_black(native_lib, tmp_path):
     assert (out == 0).all()  # black substitute (reference behavior)
 
 
+def test_decode_corrupt_inputs_black(native_lib, tmp_path):
+    """Corrupt files must never crash the process and must come back as
+    black images (reference data_loader.py:108-110 substitutes on ANY
+    decode error, not just FileNotFoundError), with good neighbors in the
+    same batch unaffected."""
+    import binascii
+    import struct
+
+    rng = np.random.default_rng(3)
+    good = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+    good_p = str(tmp_path / "good.png")
+    Image.fromarray(good).save(good_p)
+
+    garbage_p = str(tmp_path / "garbage.png")
+    with open(garbage_p, "wb") as f:
+        f.write(b"not a png at all" * 64)
+
+    truncated_p = str(tmp_path / "truncated.png")
+    with open(truncated_p, "wb") as f:
+        f.write(open(good_p, "rb").read()[:40])  # mid-IHDR cutoff
+
+    # Valid signature + IHDR (correct CRC) claiming 65535x65535 pixels:
+    # within libpng's default per-side limit, but the row buffer would be
+    # ~12 GB — the decoder's pixel-count bound must reject it instead of
+    # letting bad_alloc terminate the process.
+    huge_p = str(tmp_path / "huge.png")
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    with open(huge_p, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(struct.pack(">I", len(ihdr)) + chunk +
+                struct.pack(">I", binascii.crc32(chunk) & 0xffffffff))
+
+    out = native_lib.decode_png_batch(
+        [garbage_p, good_p, truncated_p, huge_p], 24)
+    assert (out[0] == 0).all()
+    np.testing.assert_array_equal(out[1], good)
+    assert (out[2] == 0).all()
+    assert (out[3] == 0).all()
+
+
+def test_store_corrupt_image_black(tmp_path):
+    """ImageStore.build black-substitutes corrupt entries regardless of
+    which codec (native or PIL) decodes them."""
+    from xgan.data.store import ImageStore
+    rng = np.random.default_rng(4)
+    good = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    gp = str(tmp_path / "ok.png")
+    Image.fromarray(good).save(gp)
+    bp = str(tmp_path / "bad.png")
+    with open(bp, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n broken")
+
+    store = ImageStore.build([gp, bp], np.zeros(2, np.int32), 32)
+    np.testing.assert_array_equal(store.images[0], good)
+    assert (store.images[1] == 0).all()
+
+
 def test_store_uses_same_values_as_pil_path(tmp_path):
     """ImageStore.build output must be invariant to the codec used."""
     from xgan.data.store import ImageStore, _decode_resize

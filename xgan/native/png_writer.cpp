@@ -79,6 +79,18 @@ bool read_png_resized(const char* path, uint8_t* out, int size) {
   png_read_info(png, info);
   png_uint_32 w = png_get_image_width(png, info);
   png_uint_32 h = png_get_image_height(png, info);
+  // Dimension sanity bound: a crafted/corrupt header claiming huge
+  // dimensions (up to libpng's 1M-pixel-side default limit) would make
+  // the row buffer allocation below throw bad_alloc inside this C
+  // callback and terminate the process. 2^26 pixels (~8192^2) is far
+  // above any real input here (RSNA originals are 1024^2); beyond it we
+  // fail the decode like any other corrupt file (black substitute).
+  if (w == 0 || h == 0 ||
+      static_cast<uint64_t>(w) * h > (1ull << 26)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return false;
+  }
   int color = png_get_color_type(png, info);
   int depth = png_get_bit_depth(png, info);
   if (depth == 16) png_set_strip_16(png);
