@@ -165,7 +165,12 @@ def test_gradcam_on_trained_checkpoint(tmp_path, fake_dataset, capsys):
         from xgan.models.pretrained import save_torch_resnet50
         save_torch_resnet50(str(mdir / "augmented_resnet50.pth"),
                             variables["params"], variables["batch_stats"])
-        expect_loaded = 2
+        # corrupt msgpack + valid .pth twin: the fallback must be
+        # success-based, not existence-based
+        (mdir / "curriculum_resnet50.msgpack").write_bytes(b"corrupt")
+        save_torch_resnet50(str(mdir / "curriculum_resnet50.pth"),
+                            variables["params"], variables["batch_stats"])
+        expect_loaded = 3
     except ImportError:  # torch absent: msgpack-only path still covered
         expect_loaded = 1
     out = tmp_path / "analysis"
@@ -176,7 +181,9 @@ def test_gradcam_on_trained_checkpoint(tmp_path, fake_dataset, capsys):
     stdout = capsys.readouterr().out
     loaded = [l for l in stdout.splitlines() if l.startswith("Loaded model")]
     assert len(loaded) == expect_loaded
-    if expect_loaded == 2:
+    if expect_loaded == 3:
         assert any(l.endswith("augmented_resnet50.pth") for l in loaded)
+        assert any(l.endswith("curriculum_resnet50.pth") for l in loaded)
+        assert "failed to load" in stdout  # the corrupt msgpack warning
     panels = list(out.glob("gradcam_*.png"))
     assert len(panels) == 3  # real_pos, real_neg, synthetic

@@ -67,24 +67,38 @@ def test_decode_corrupt_inputs_black(native_lib, tmp_path):
     with open(truncated_p, "wb") as f:
         f.write(open(good_p, "rb").read()[:40])  # mid-IHDR cutoff
 
-    # Valid signature + IHDR (correct CRC) claiming 65535x65535 pixels:
-    # within libpng's default per-side limit, but the row buffer would be
-    # ~12 GB — the decoder's pixel-count bound must reject it instead of
-    # letting bad_alloc terminate the process.
-    huge_p = str(tmp_path / "huge.png")
-    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
-    chunk = b"IHDR" + ihdr
-    with open(huge_p, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(struct.pack(">I", len(ihdr)) + chunk +
-                struct.pack(">I", binascii.crc32(chunk) & 0xffffffff))
+    # Crafted headers with huge claimed dimensions. A stub IDAT chunk is
+    # REQUIRED: png_read_info keeps reading chunks until it sees IDAT, so
+    # without one it longjmps on EOF before the decoder's dimension
+    # guard ever runs and the test passes vacuously (verified with a
+    # libpng probe). With the IDAT present, read_info returns the claimed
+    # dimensions and the guard must reject them — instead of the 12 GB
+    # row buffer (huge) or the ~GB-scale h*size resize intermediate
+    # (tall) throwing bad_alloc and terminating the process.
+    def craft(path, w, h):
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data +
+                    struct.pack(">I",
+                                binascii.crc32(typ + data) & 0xffffffff))
+        import zlib
+        with open(path, "wb") as f:
+            f.write(b"\x89PNG\r\n\x1a\n")
+            f.write(chunk(b"IHDR",
+                          struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
+            f.write(chunk(b"IDAT", zlib.compress(b"\x00")))
+
+    huge_p = str(tmp_path / "huge.png")      # 12 GB row buffer if decoded
+    craft(huge_p, 65535, 65535)
+    tall_p = str(tmp_path / "tall.png")      # passes a w*h cap alone
+    craft(tall_p, 64, 1_000_000)
 
     out = native_lib.decode_png_batch(
-        [garbage_p, good_p, truncated_p, huge_p], 24)
+        [garbage_p, good_p, truncated_p, huge_p, tall_p], 24)
     assert (out[0] == 0).all()
     np.testing.assert_array_equal(out[1], good)
     assert (out[2] == 0).all()
     assert (out[3] == 0).all()
+    assert (out[4] == 0).all()
 
 
 def test_store_corrupt_image_black(tmp_path):

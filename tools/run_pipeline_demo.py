@@ -105,11 +105,21 @@ def main():
         "--synthetic-dir", synth,
         "--image-size", str(args.image_size),
         "--num-ssim-real", "10", "--num-ssim-synth", "10")
-    run("predict.py", *dev,
-        "--model-path", f"{w}/models/baseline_resnet50.msgpack",
-        "--input-dir", synth,
-        "--output", f"{w}/results/predictions.json",
-        "--image-size", str(args.image_size), "--batch-size", "8")
+    # The best-val checkpoint is only written when val accuracy improves
+    # past 0 (reference best-model semantics, classifier_loop.py) — a
+    # degenerate run on the random fixture can finish without one, which
+    # the analyzer tolerates; tolerate it here too instead of aborting
+    # the demo at its final step.
+    ckpt = f"{w}/models/baseline_resnet50.msgpack"
+    if os.path.exists(ckpt):
+        run("predict.py", *dev,
+            "--model-path", ckpt,
+            "--input-dir", synth,
+            "--output", f"{w}/results/predictions.json",
+            "--image-size", str(args.image_size), "--batch-size", "8")
+    else:
+        print(f"Note: {ckpt} was not written (no val-accuracy "
+              "improvement); skipping the predict.py step.")
 
     print(f"\nDemo complete. Artifacts under {w}/results "
           f"(metrics/, figures/, analysis/, predictions.json).")

@@ -401,20 +401,25 @@ def generate_grad_cam_comparison(model_dir: str, data_dir: str,
         # Prefer our msgpack; fall back to the reference's torchvision
         # .pth (what its train_classifier.py:179-184 writes and its
         # analyzer loads, analyze_results.py:455-470) so reference-trained
-        # classifiers can be Grad-CAM'd here directly.
-        candidates = [Path(model_dir) / f"{prefix}resnet50.msgpack",
-                      Path(model_dir) / f"{prefix}resnet50.pth"]
-        path = next((p for p in candidates if p.exists()), None)
-        if path is not None:
+        # classifiers can be Grad-CAM'd here directly. The fallback is
+        # success-based, not existence-based: a corrupt/mismatched
+        # msgpack must not block the loadable .pth twin beside it.
+        candidates = [p for p in
+                      (Path(model_dir) / f"{prefix}resnet50.msgpack",
+                       Path(model_dir) / f"{prefix}resnet50.pth")
+                      if p.exists()]
+        for path in candidates:
             try:
                 models[prefix[:-1]] = load_classifier_variables(
                     str(path), like)
                 print(f"Loaded model: {path}")
+                break
             except Exception as e:
                 print(f"Warning: failed to load {path}: {e}")
-        else:
+        if not candidates:
             print(f"Info: model file not found, skipping Grad-CAM for "
-                  f"{prefix[:-1]}: {candidates[0]}")
+                  f"{prefix[:-1]}: "
+                  f"{Path(model_dir) / (prefix + 'resnet50.msgpack')}")
     if not models:
         print("Error: no models loaded successfully for Grad-CAM.")
         return

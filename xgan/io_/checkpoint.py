@@ -102,9 +102,8 @@ def load_classifier_variables(path: str,
             raise ValueError(
                 f"{path}: state-dict layout does not match a torchvision "
                 f"resnet50 of stages {stage_sizes}")
-    else:
-        loaded = load_variables(path, like)
-    check_leaf_shapes(like, loaded,
-                      f"checkpoint {path} does not match the current "
-                      "model flags")
-    return loaded
+        check_leaf_shapes(like, loaded,
+                          f"checkpoint {path} does not match the current "
+                          "model flags")
+        return loaded
+    return load_variables_checked(path, like)

@@ -21,13 +21,24 @@ def _load():
     global _LIB, HAVE_NATIVE
     if _LIB is not None:
         return _LIB
-    so = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "libxganpng.so")
-    if not os.path.exists(so):
+    here = os.path.dirname(os.path.abspath(__file__))
+    so = os.path.join(here, "libxganpng.so")
+    cpp = os.path.join(here, "png_writer.cpp")
+    # Rebuild when missing OR stale: a checkout that built the .so before
+    # a png_writer.cpp change would otherwise keep running the old binary
+    # while tests of the new behavior go green against a fresh build.
+    stale = (os.path.exists(so) and os.path.exists(cpp)
+             and os.path.getmtime(cpp) > os.path.getmtime(so))
+    if not os.path.exists(so) or stale:
         try:
             from xgan.native.build import build
             build(verbose=False)
-        except Exception as e:  # no toolchain: PIL fallback
+        except Exception as e:  # no toolchain: PIL fallback (or stale .so)
+            if stale:
+                print(f"Note: could not rebuild stale native codec ({e}); "
+                      "using PIL.")
+                _LIB = False
+                return False
             print(f"Note: native PNG codec unavailable ({e}); using PIL.")
             _LIB = False
             return False

@@ -79,13 +79,15 @@ bool read_png_resized(const char* path, uint8_t* out, int size) {
   png_read_info(png, info);
   png_uint_32 w = png_get_image_width(png, info);
   png_uint_32 h = png_get_image_height(png, info);
-  // Dimension sanity bound: a crafted/corrupt header claiming huge
+  // Dimension sanity bounds: a crafted/corrupt header claiming huge
   // dimensions (up to libpng's 1M-pixel-side default limit) would make
-  // the row buffer allocation below throw bad_alloc inside this C
-  // callback and terminate the process. 2^26 pixels (~8192^2) is far
-  // above any real input here (RSNA originals are 1024^2); beyond it we
-  // fail the decode like any other corrupt file (black substitute).
-  if (w == 0 || h == 0 ||
+  // the buffers below multi-GB. The per-side cap (2^14 = 16384, far
+  // above the 1024^2 RSNA originals) also bounds the h-scaled resize
+  // intermediate, which the pixel-product cap alone would not (a
+  // 64 x 1M image passes w*h <= 2^26 but needs an h*size*3 float
+  // buffer). Beyond either bound we fail the decode like any other
+  // corrupt file (black substitute).
+  if (w == 0 || h == 0 || w > (1u << 14) || h > (1u << 14) ||
       static_cast<uint64_t>(w) * h > (1ull << 26)) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
@@ -228,18 +230,32 @@ struct DecodeCtx {
   std::atomic<int>* failures;
 };
 
+// Both workers catch EVERYTHING at the thread boundary: an exception
+// (e.g. bad_alloc from a pathological-but-in-bounds input) escaping into
+// the std::thread started by parallel_for would std::terminate the whole
+// process. A failed item is a failure count + (for decode) a black
+// substitute, never a crash.
 void encode_one(int i, void* p) {
   auto* c = static_cast<EncodeCtx*>(p);
   const uint8_t* img =
       c->images + static_cast<size_t>(i) * c->h * c->w * 3;
-  if (!write_png(c->paths[i], img, c->h, c->w, c->level))
-    c->failures->fetch_add(1);
+  bool ok = false;
+  try {
+    ok = write_png(c->paths[i], img, c->h, c->w, c->level);
+  } catch (...) {
+  }
+  if (!ok) c->failures->fetch_add(1);
 }
 
 void decode_one(int i, void* p) {
   auto* c = static_cast<DecodeCtx*>(p);
   uint8_t* dst = c->out + static_cast<size_t>(i) * c->size * c->size * 3;
-  if (!read_png_resized(c->paths[i], dst, c->size)) {
+  bool ok = false;
+  try {
+    ok = read_png_resized(c->paths[i], dst, c->size);
+  } catch (...) {
+  }
+  if (!ok) {
     std::memset(dst, 0, static_cast<size_t>(c->size) * c->size * 3);
     c->failures->fetch_add(1);
   }
