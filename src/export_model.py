@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Export a trained model as a portable StableHLO serving artifact
+(beyond-reference capability; see xgan/io_/export.py).
+
+The artifact is self-contained — weights baked in, batch dimension
+symbolic, lowered for both CPU and TPU — and runs with no model code:
+
+    from xgan.io_.export import load_exported
+    labels, probs = load_exported("clf.stablehlo").call(u8_images)
+
+``--model-path`` accepts our msgpack checkpoints or reference-layout
+torch ``.pth`` state dicts (same interop as the samplers / predict.py).
+After exporting, the artifact is reloaded and checked against the live
+model on a random batch (disable with --skip-verify).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Export a trained xgan model as a self-contained "
+                    "StableHLO artifact for serving")
+    p.add_argument("--kind", type=str, required=True,
+                   choices=["classifier", "gan", "cgan", "wgan"])
+    p.add_argument("--model-path", type=str, required=True,
+                   help="checkpoint: .msgpack (ours) or torchvision/"
+                        "reference-layout .pth")
+    p.add_argument("--output", type=str, required=True,
+                   help="artifact path, e.g. model.stablehlo")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--latent-dim", type=int, default=100)
+    p.add_argument("--feature-maps-g", type=int, default=64,
+                   help="generator width (use 32 for the CGAN default)")
+    p.add_argument("--num-classes", type=int, default=2)
+    p.add_argument("--skip-verify", action="store_true",
+                   help="skip the reload + numeric check after export")
+    p.add_argument("--cpu", action="store_true")
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
+    from xgan import config
+    config.apply_device_flag(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgan.io_.export import (export_classifier, export_generator,
+                                 load_exported, save_exported)
+    from xgan.train.sample import load_generator
+
+    conditional = args.kind == "cgan"
+    if args.kind == "classifier":
+        from xgan.io_.checkpoint import load_classifier_variables
+        from xgan.models.resnet import ResNet50
+        if not os.path.exists(args.model_path):
+            print(f"Error: model checkpoint not found at {args.model_path}")
+            sys.exit(1)
+        model = ResNet50(num_classes=args.num_classes)
+        like = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, args.image_size, args.image_size, 3)),
+            train=False)
+        try:
+            variables = load_classifier_variables(
+                args.model_path, {"params": like["params"],
+                                  "batch_stats": like["batch_stats"]})
+        except Exception as e:  # noqa: BLE001 — structured CLI error contract
+            print(f"Error loading classifier checkpoint: {e}")
+            sys.exit(1)
+        blob = export_classifier(model, variables, args.image_size)
+    else:
+        if args.kind == "gan":
+            from xgan.models.dcgan import Generator
+        elif args.kind == "wgan":
+            from xgan.models.wgan import Generator
+        else:
+            from xgan.models.cgan import Generator
+        model = Generator(latent_dim=args.latent_dim,
+                          feature_maps=args.feature_maps_g,
+                          image_size=args.image_size)
+        example = (jnp.zeros((2, args.latent_dim)),)
+        if conditional:
+            example = example + (jnp.zeros((2,), jnp.int32),)
+        # load_generator owns the fail-fast envelope (missing file,
+        # flag/checkpoint shape mismatch, torch-layout conversion)
+        variables = load_generator(model, args.model_path, example,
+                                   torch_kind={"gan": "dcgan"}.get(
+                                       args.kind, args.kind))
+        blob = export_generator(model, variables, args.latent_dim,
+                                conditional=conditional)
+
+    save_exported(args.output, blob)
+    print(f"Exported {args.kind} -> {args.output} "
+          f"({len(blob) / 1e6:.1f} MB, platforms cpu+tpu, "
+          "symbolic batch)")
+
+    if args.skip_verify:
+        return
+    art = load_exported(args.output)
+    rng = np.random.default_rng(0)
+    if args.kind == "classifier":
+        x = rng.integers(
+            0, 255, (2, args.image_size, args.image_size, 3), np.uint8)
+        from xgan.data.pipeline import normalize_images
+        logits = model.apply(variables, normalize_images(jnp.asarray(x)),
+                             train=False)
+        want_probs = np.asarray(
+            jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1])
+        _, got_probs = art.call(x)
+        # probabilities, not argmax labels: a near-tie would make label
+        # equality flicker on harmless last-ulp compilation differences
+        ok = np.allclose(np.asarray(got_probs), want_probs, atol=1e-5)
+    else:
+        from xgan.data.pipeline import tanh_to_u8
+        z = rng.normal(size=(2, args.latent_dim)).astype(np.float32)
+        if conditional:
+            labels = rng.integers(0, args.num_classes, (2,), np.int32)
+            want = tanh_to_u8(model.apply(variables, jnp.asarray(z),
+                                          jnp.asarray(labels), train=False))
+            got = art.call(z, labels)
+        else:
+            want = tanh_to_u8(model.apply(variables, jnp.asarray(z),
+                                          train=False))
+            got = art.call(z)
+        ok = np.array_equal(np.asarray(got), np.asarray(want))
+    if not ok:
+        print("Error: exported artifact disagrees with the live model")
+        sys.exit(1)
+    print("Verified: artifact output matches the live model.")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,8 @@ Chain (the reference's documented workflow, README.md of the reference):
                                               (src/analyze_results.py)
   6. batch-classify the synthetic images with the trained single-run
      checkpoint                               (src/predict.py)
+  7. export the trained generator as a portable StableHLO serving
+     artifact (reload + numeric self-check)   (src/export_model.py)
 
 Usage: python tools/run_pipeline_demo.py [--workdir DIR] [--image-size 32]
        [--tpu]   (default runs on CPU; --tpu uses the default backend)
@@ -120,9 +122,15 @@ def main():
     else:
         print(f"Note: {ckpt} was not written (no val-accuracy "
               "improvement); skipping the predict.py step.")
+    run("export_model.py", *dev, "--kind", "gan",
+        "--model-path", f"{w}/models/gan/generator_final.msgpack",
+        "--output", f"{w}/models/gan/generator.stablehlo",
+        "--latent-dim", "16", "--feature-maps-g", "8",
+        "--image-size", str(args.image_size))
 
     print(f"\nDemo complete. Artifacts under {w}/results "
-          f"(metrics/, figures/, analysis/, predictions.json).")
+          f"(metrics/, figures/, analysis/, predictions.json) and "
+          f"{w}/models/gan/generator.stablehlo.")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,94 @@
+"""Portable compiled-model serving artifacts (jax.export / StableHLO).
+
+Beyond-reference capability: the reference can only run a trained model
+through its full Python training stack (e.g. analyze_results.py reloads
+the torchvision graph to predict). Here a trained classifier or
+generator exports as ONE self-contained StableHLO artifact — weights
+baked in as constants, batch dimension symbolic — that executes later on
+TPU or CPU with no model code at all, via
+``jax.export.deserialize(blob).call(batch)``. Cross-release loadability
+follows JAX's export compatibility guarantees.
+
+The exported functions mirror the serving surfaces of this framework:
+
+- classifier: uint8 images ``(b, s, s, 3)`` -> ``(labels (b,),
+  prob_positive (b,))`` with the ImageNet normalization fused in (the
+  exact pipeline of src/predict.py).
+- generator: latent ``z (b, latent_dim)`` [+ ``labels (b,) int32`` for
+  the conditional CGAN] -> uint8 images, with the reference's
+  ``x*0.5+0.5`` export transform fused in
+  (reference generate_synthetic.py:53).
+"""
+from __future__ import annotations
+
+import os
+
+# Both lowerings by default: artifacts exported on a CPU dev box serve
+# on TPU and vice versa.
+DEFAULT_PLATFORMS = ("cpu", "tpu")
+
+
+def _batch_spec(shape_tail, dtype):
+    import jax
+    from jax import export as jexport
+    b = jexport.symbolic_shape("b")[0]
+    return jax.ShapeDtypeStruct((b, *shape_tail), dtype)
+
+
+def export_classifier(model, variables, image_size: int,
+                      platforms=DEFAULT_PLATFORMS) -> bytes:
+    """Serialize ``uint8 (b,s,s,3) -> (labels, prob_positive)``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from xgan.data.pipeline import normalize_images
+
+    def infer(imgs_u8):
+        logits = model.apply(variables, normalize_images(imgs_u8),
+                             train=False)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.argmax(logits, -1), probs[:, 1]
+
+    spec = _batch_spec((image_size, image_size, 3), jnp.uint8)
+    return jexport.export(jax.jit(infer),
+                          platforms=tuple(platforms))(spec).serialize()
+
+
+def export_generator(model, variables, latent_dim: int,
+                     conditional: bool = False,
+                     platforms=DEFAULT_PLATFORMS) -> bytes:
+    """Serialize ``z (b,latent) [, labels (b,)] -> uint8 images``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from xgan.data.pipeline import tanh_to_u8
+
+    zspec = _batch_spec((latent_dim,), jnp.float32)
+    if conditional:
+        def gen(z, labels):
+            return tanh_to_u8(model.apply(variables, z, labels,
+                                          train=False))
+        # labels share the symbolic batch dimension with z
+        lspec = jax.ShapeDtypeStruct(zspec.shape[:1], jnp.int32)
+        return jexport.export(jax.jit(gen), platforms=tuple(platforms))(
+            zspec, lspec).serialize()
+
+    def gen(z):
+        return tanh_to_u8(model.apply(variables, z, train=False))
+    return jexport.export(jax.jit(gen),
+                          platforms=tuple(platforms))(zspec).serialize()
+
+
+def save_exported(path: str, blob: bytes) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_exported(path: str):
+    """Deserialize an artifact; run it with ``.call(*args)``."""
+    from jax import export as jexport
+    with open(path, "rb") as f:
+        return jexport.deserialize(f.read())
