@@ -279,6 +279,42 @@ def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
     return out
 
 
+def bench_exported_classifier(dtype, size, batch):
+    """Serving rate of the StableHLO export artifact
+    (src/export_model.py): deserialize, wrap .call in jit, and
+    chain-slope-time uint8-batch inference — the number a deployment of
+    the self-contained artifact gets, model code not loaded."""
+    from jax import export as jexport
+
+    from xgan.io_.export import export_classifier
+    from xgan.models.resnet import ResNet50
+
+    model = ResNet50(num_classes=2, dtype=dtype)
+    v = model.init(jax.random.key(0), jnp.zeros((2, size, size, 3)),
+                   train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    art = jexport.deserialize(export_classifier(model, v, size))
+    images = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (512, size, size, 3), np.uint8))
+
+    @jax.jit
+    def step(idx_base):
+        idx = (jnp.arange(batch, dtype=jnp.int32) + idx_base) % 512
+        labels, probs = art.call(jnp.take(images, idx, axis=0))
+        # fold an output value into the next call's input indices so
+        # successive calls form a true dependency chain (dedup pitfall)
+        return labels, idx_base + 1 + labels[0]
+
+    holder = {"c": jnp.int32(0)}
+
+    def run(_):
+        labels, holder["c"] = step(holder["c"])
+        return labels
+    dt = timeit(run, 0, iters=10)
+    return {"sec_per_batch": dt, "imgs_per_sec": batch / dt,
+            "batch": batch}
+
+
 def bench_sharded_sampling_cpu8():
     """Sharded sampling on the 8-virtual-device CPU mesh in a subprocess
     (this process is pinned to the TPU backend): correctness (PNG count)
@@ -362,6 +398,9 @@ def main():
                                "/tmp/bench_sampler_out")),
         ("sharded_sampling_cpu8", "Sharded sampling, 8-device CPU mesh",
          lambda: bench_sharded_sampling_cpu8()),
+        ("exported_resnet50_infer_224px_b128",
+         "Exported StableHLO classifier artifact, 224px b128 inference",
+         lambda: bench_exported_classifier(dtype, 224, 128)),
     ]
     only = set(args.only.split(",")) if args.only else None
     if only is not None:
