@@ -1,0 +1,104 @@
+"""HTTP serving (src/serve.py): health, prediction parity with the live
+model, error envelope — for both the StableHLO-artifact and checkpoint
+model formats."""
+import io
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "src")
+
+
+def _tiny_classifier():
+    # default stage sizes: the server's checkpoint branch builds the
+    # full-depth ResNet-50, exactly like src/predict.py
+    from xgan.models.resnet import ResNet50
+    model = ResNet50(num_classes=2)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                   train=False)
+    return model, {"params": v["params"], "batch_stats": v["batch_stats"]}
+
+
+def _start(model_path):
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.join(SRC, "serve.py"), "--cpu",
+         "--model-path", model_path, "--port", "0", "--image-size", "32"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    t0 = time.time()
+    line = ""
+    while time.time() - t0 < 300:
+        line = proc.stdout.readline()
+        if "Serving" in line:
+            break
+        if proc.poll() is not None:
+            raise RuntimeError(
+                f"server died: stdout={line!r} "
+                f"stderr={proc.stderr.read()[-2000:]}")
+    port = int(line.rsplit(":", 1)[-1].strip())
+    return proc, port
+
+
+def _post(port, path, data):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                 data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.mark.parametrize("fmt", ["stablehlo", "msgpack"])
+def test_serve_predict_parity(tmp_path, fmt):
+    from PIL import Image
+
+    from xgan.data.pipeline import normalize_images
+
+    model, variables = _tiny_classifier()
+    if fmt == "stablehlo":
+        from xgan.io_.export import export_classifier, save_exported
+        path = str(tmp_path / "clf.stablehlo")
+        save_exported(path, export_classifier(model, variables, 32))
+    else:
+        from xgan.io_.checkpoint import save_variables
+        path = str(tmp_path / "clf.msgpack")
+        save_variables(path, variables)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    logits = model.apply(variables, normalize_images(jnp.asarray(img[None])),
+                         train=False)
+    want_prob = float(jax.nn.softmax(
+        logits.astype(jnp.float32), -1)[0, 1])
+
+    proc, port = _start(path)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["image_size"] == 32
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        status, out = _post(port, "/predict", buf.getvalue())
+        assert status == 200
+        assert out["label"] in (0, 1)
+        assert abs(out["prob_positive"] - want_prob) < 1e-5
+
+        # error envelope: undecodable body -> structured 400, server lives
+        status, out = _post(port, "/predict", b"not a png")
+        assert status == 400 and "error" in out
+        status, _ = _post(port, "/predict", buf.getvalue())
+        assert status == 200
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
