@@ -33,8 +33,9 @@ def build_parser():
                    help="artifact path, e.g. model.stablehlo")
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--latent-dim", type=int, default=100)
-    p.add_argument("--feature-maps-g", type=int, default=64,
-                   help="generator width (use 32 for the CGAN default)")
+    p.add_argument("--feature-maps-g", type=int, default=None,
+                   help="generator width; defaults to the per-family "
+                        "training default (32 for cgan, 64 otherwise)")
     p.add_argument("--num-classes", type=int, default=2)
     p.add_argument("--skip-verify", action="store_true",
                    help="skip the reload + numeric check after export")
@@ -82,8 +83,11 @@ def main():
             from xgan.models.wgan import Generator
         else:
             from xgan.models.cgan import Generator
+        fm = args.feature_maps_g
+        if fm is None:  # mirror each family's training/sampler default
+            fm = 32 if conditional else 64
         model = Generator(latent_dim=args.latent_dim,
-                          feature_maps=args.feature_maps_g,
+                          feature_maps=fm,
                           image_size=args.image_size)
         example = (jnp.zeros((2, args.latent_dim)),)
         if conditional:

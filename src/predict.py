@@ -42,7 +42,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from xgan.data.pipeline import normalize_images
     from xgan.io_.checkpoint import load_classifier_variables
     from xgan.models.resnet import ResNet50
     from xgan.native import decode_png_batch
@@ -80,11 +79,8 @@ def main():
     batch = mesh_ctx.pad_batch(args.batch_size)
     variables = mesh_ctx.replicate(variables)
 
-    @jax.jit
-    def infer(vs, imgs_u8):
-        logits = model.apply(vs, normalize_images(imgs_u8), train=False)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        return jnp.argmax(logits, -1), probs[:, 1]
+    from xgan.io_.export import make_classifier_infer
+    infer = jax.jit(make_classifier_infer(model, variables))
 
     preds, probs = [], []
     for start in range(0, len(files), batch):
@@ -94,7 +90,7 @@ def main():
         if imgs.shape[0] < batch:  # static-shape pad, dropped below
             pad = np.repeat(imgs[-1:], batch - imgs.shape[0], axis=0)
             imgs = np.concatenate([imgs, pad])
-        p, pr = infer(variables, mesh_ctx.shard_array(imgs))
+        p, pr = infer(mesh_ctx.shard_array(imgs))
         preds.extend(np.asarray(p)[:len(chunk)].tolist())
         probs.extend(np.asarray(pr)[:len(chunk)].tolist())
 

@@ -50,15 +50,28 @@ def make_infer(args):
     if args.model_path.endswith(".stablehlo"):
         from xgan.io_.export import load_exported
         art = load_exported(args.model_path)
-        size = art.in_avals[0].shape[1]
+        avals = art.in_avals
+        # classifier signature: one uint8 (b, s, s, 3) input. A generator
+        # artifact (z (b, latent) float32 in) must be rejected with a
+        # structured message, not crash at the warm-up call.
+        if (len(avals) != 1 or len(avals[0].shape) != 4
+                or avals[0].dtype != jnp.uint8):
+            raise ValueError(
+                f"{args.model_path} is not a classifier artifact "
+                f"(input signature {[(a.shape, str(a.dtype)) for a in avals]}; "
+                "expected one uint8 (batch, size, size, 3) input — "
+                "generator artifacts cannot be served by serve.py)")
+        size = avals[0].shape[1]
+        # jit the call: eager Exported.call re-traces per request
+        run = jax.jit(art.call)
 
         def infer(u8):
-            labels, probs = art.call(u8)
+            labels, probs = run(u8)
             return int(labels[0]), float(probs[0])
         return infer, int(size)
 
-    from xgan.data.pipeline import normalize_images
     from xgan.io_.checkpoint import load_classifier_variables
+    from xgan.io_.export import make_classifier_infer
     from xgan.models.resnet import ResNet50
     model = ResNet50(num_classes=args.num_classes)
     like = model.init(
@@ -67,12 +80,7 @@ def make_infer(args):
     variables = load_classifier_variables(
         args.model_path, {"params": like["params"],
                           "batch_stats": like["batch_stats"]})
-
-    @jax.jit
-    def run(u8):
-        logits = model.apply(variables, normalize_images(u8), train=False)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        return jnp.argmax(logits, -1), probs[:, 1]
+    run = jax.jit(make_classifier_infer(model, variables))
 
     def infer(u8):
         labels, probs = run(u8)
@@ -95,13 +103,14 @@ def main():
         sys.exit(1)
     try:
         infer, size = make_infer(args)
+        # compile before accepting traffic so the first request is fast;
+        # inside the envelope: a malformed artifact must fail structured
+        infer(np.zeros((1, size, size, 3), np.uint8))
     except Exception as e:  # noqa: BLE001 — structured CLI error contract
         print(f"Error loading model: {e}")
         sys.exit(1)
 
-    # compile before accepting traffic so the first request is fast
     lock = threading.Lock()
-    infer(np.zeros((1, size, size, 3), np.uint8))
     model_name = os.path.basename(args.model_path)
 
     class Handler(BaseHTTPRequestHandler):
@@ -124,7 +133,10 @@ def main():
             if self.path != "/predict":
                 self._json(404, {"error": "unknown path"})
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                n = -1
             if n <= 0 or n > 64 * 1024 * 1024:
                 self._json(400, {"error": "bad Content-Length"})
                 return

@@ -29,22 +29,36 @@ def _tiny_classifier():
 
 
 def _start(model_path):
+    import queue
+    import threading
+
     proc = subprocess.Popen(
         [sys.executable, "-u", os.path.join(SRC, "serve.py"), "--cpu",
          "--model-path", model_path, "--port", "0", "--image-size", "32"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-    t0 = time.time()
-    line = ""
-    while time.time() - t0 < 300:
-        line = proc.stdout.readline()
+    # reader thread: a plain readline() would block forever if the server
+    # hangs before printing, defeating the deadline below
+    q = queue.Queue()
+    threading.Thread(
+        target=lambda: [q.put(ln) for ln in proc.stdout],
+        daemon=True).start()
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        try:
+            line = q.get(timeout=5)
+        except queue.Empty:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"server died: stderr={proc.stderr.read()[-2000:]}")
+            continue
         if "Serving" in line:
-            break
+            return proc, int(line.rsplit(":", 1)[-1].strip())
         if proc.poll() is not None:
             raise RuntimeError(
                 f"server died: stdout={line!r} "
                 f"stderr={proc.stderr.read()[-2000:]}")
-    port = int(line.rsplit(":", 1)[-1].strip())
-    return proc, port
+    proc.kill()
+    raise RuntimeError("server did not print its Serving line in 300s")
 
 
 def _post(port, path, data):

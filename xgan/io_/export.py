@@ -35,12 +35,15 @@ def _batch_spec(shape_tail, dtype):
     return jax.ShapeDtypeStruct((b, *shape_tail), dtype)
 
 
-def export_classifier(model, variables, image_size: int,
-                      platforms=DEFAULT_PLATFORMS) -> bytes:
-    """Serialize ``uint8 (b,s,s,3) -> (labels, prob_positive)``."""
+def make_classifier_infer(model, variables):
+    """The ONE serving program: ``uint8 (b,s,s,3) -> (labels (b,),
+    prob_positive (b,))`` with the ImageNet normalization fused in.
+
+    Shared by the StableHLO export, src/predict.py and src/serve.py so
+    the artifact, the batch CLI and the HTTP server are provably the
+    same computation."""
     import jax
     import jax.numpy as jnp
-    from jax import export as jexport
 
     from xgan.data.pipeline import normalize_images
 
@@ -49,7 +52,17 @@ def export_classifier(model, variables, image_size: int,
                              train=False)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.argmax(logits, -1), probs[:, 1]
+    return infer
 
+
+def export_classifier(model, variables, image_size: int,
+                      platforms=DEFAULT_PLATFORMS) -> bytes:
+    """Serialize ``uint8 (b,s,s,3) -> (labels, prob_positive)``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    infer = make_classifier_infer(model, variables)
     spec = _batch_spec((image_size, image_size, 3), jnp.uint8)
     return jexport.export(jax.jit(infer),
                           platforms=tuple(platforms))(spec).serialize()

@@ -24,6 +24,11 @@
 namespace {
 
 // ---------------------------------------------------------------- encode
+// Cleanup discipline (both codec functions): buffers are declared BEFORE
+// setjmp and libpng structs/FILE* are freed at exactly ONE point after a
+// do/while(0) body, so neither a libpng longjmp (which skips destructors
+// of objects it jumps back over) nor a C++ exception (bad_alloc while
+// the structs are alive) can leak the fd, the structs, or the buffers.
 bool write_png(const char* path, const uint8_t* rgb, int h, int w,
                int compress_level) {
   FILE* fp = std::fopen(path, "wb");
@@ -35,25 +40,31 @@ bool write_png(const char* path, const uint8_t* rgb, int h, int w,
   png_infop info = png_create_info_struct(png);
   if (!info) { png_destroy_write_struct(&png, nullptr); std::fclose(fp);
                return false; }
-  if (setjmp(png_jmpbuf(png))) {
-    png_destroy_write_struct(&png, &info);
-    std::fclose(fp);
-    return false;
+  std::vector<png_bytep> rows;
+  bool ok = false;
+  try {
+    do {
+      if (setjmp(png_jmpbuf(png))) break;
+      png_init_io(png, fp);
+      png_set_compression_level(png, compress_level);
+      png_set_filter(png, 0, PNG_FILTER_NONE);  // fastest; images are noisy
+      png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB,
+                   PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                   PNG_FILTER_TYPE_DEFAULT);
+      png_write_info(png, info);
+      rows.resize(h);
+      for (int y = 0; y < h; ++y)
+        rows[y] =
+            const_cast<png_bytep>(rgb + static_cast<size_t>(y) * w * 3);
+      png_write_image(png, rows.data());
+      png_write_end(png, nullptr);
+      ok = true;
+    } while (false);
+  } catch (...) {
   }
-  png_init_io(png, fp);
-  png_set_compression_level(png, compress_level);
-  png_set_filter(png, 0, PNG_FILTER_NONE);  // fastest; images are noisy
-  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
-               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
-  png_write_info(png, info);
-  std::vector<png_bytep> rows(h);
-  for (int y = 0; y < h; ++y)
-    rows[y] = const_cast<png_bytep>(rgb + static_cast<size_t>(y) * w * 3);
-  png_write_image(png, rows.data());
-  png_write_end(png, nullptr);
   png_destroy_write_struct(&png, &info);
   std::fclose(fp);
-  return true;
+  return ok;
 }
 
 // ---------------------------------------------------------------- decode
@@ -70,48 +81,53 @@ bool read_png_resized(const char* path, uint8_t* out, int size) {
   png_infop info = png_create_info_struct(png);
   if (!info) { png_destroy_read_struct(&png, nullptr, nullptr);
                std::fclose(fp); return false; }
-  if (setjmp(png_jmpbuf(png))) {
-    png_destroy_read_struct(&png, &info, nullptr);
-    std::fclose(fp);
-    return false;
-  }
-  png_init_io(png, fp);
-  png_read_info(png, info);
-  png_uint_32 w = png_get_image_width(png, info);
-  png_uint_32 h = png_get_image_height(png, info);
-  // Dimension sanity bounds: a crafted/corrupt header claiming huge
-  // dimensions (up to libpng's 1M-pixel-side default limit) would make
-  // the buffers below multi-GB. The per-side cap (2^14 = 16384, far
-  // above the 1024^2 RSNA originals) also bounds the h-scaled resize
-  // intermediate, which the pixel-product cap alone would not (a
-  // 64 x 1M image passes w*h <= 2^26 but needs an h*size*3 float
-  // buffer). Beyond either bound we fail the decode like any other
-  // corrupt file (black substitute).
-  if (w == 0 || h == 0 || w > (1u << 14) || h > (1u << 14) ||
-      static_cast<uint64_t>(w) * h > (1ull << 26)) {
-    png_destroy_read_struct(&png, &info, nullptr);
-    std::fclose(fp);
-    return false;
-  }
-  int color = png_get_color_type(png, info);
-  int depth = png_get_bit_depth(png, info);
-  if (depth == 16) png_set_strip_16(png);
-  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
-  if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
-    png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
-    png_set_gray_to_rgb(png);
-  png_set_strip_alpha(png);
-  png_read_update_info(png, info);
+  std::vector<uint8_t> buf;       // before setjmp: see write_png's note
+  std::vector<png_bytep> rows;
+  png_uint_32 w = 0, h = 0;
+  bool ok = false;
+  try {
+    do {
+      if (setjmp(png_jmpbuf(png))) break;
+      png_init_io(png, fp);
+      png_read_info(png, info);
+      w = png_get_image_width(png, info);
+      h = png_get_image_height(png, info);
+      // Dimension sanity bounds: a crafted/corrupt header claiming huge
+      // dimensions (up to libpng's 1M-pixel-side default limit) would
+      // make the buffers below multi-GB. The per-side cap (2^14 = 16384,
+      // far above the 1024^2 RSNA originals) also bounds the h-scaled
+      // resize intermediate, which the pixel-product cap alone would not
+      // (a 64 x 1M image passes w*h <= 2^26 but needs an h*size*3 float
+      // buffer). Beyond either bound we fail the decode like any other
+      // corrupt file (black substitute).
+      if (w == 0 || h == 0 || w > (1u << 14) || h > (1u << 14) ||
+          static_cast<uint64_t>(w) * h > (1ull << 26))
+        break;
+      int color = png_get_color_type(png, info);
+      int depth = png_get_bit_depth(png, info);
+      if (depth == 16) png_set_strip_16(png);
+      if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+      if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+        png_set_expand_gray_1_2_4_to_8(png);
+      if (png_get_valid(png, info, PNG_INFO_tRNS))
+        png_set_tRNS_to_alpha(png);
+      if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+        png_set_gray_to_rgb(png);
+      png_set_strip_alpha(png);
+      png_read_update_info(png, info);
 
-  std::vector<uint8_t> buf(static_cast<size_t>(w) * h * 3);
-  std::vector<png_bytep> rows(h);
-  for (png_uint_32 y = 0; y < h; ++y)
-    rows[y] = buf.data() + static_cast<size_t>(y) * w * 3;
-  png_read_image(png, rows.data());
+      buf.resize(static_cast<size_t>(w) * h * 3);
+      rows.resize(h);
+      for (png_uint_32 y = 0; y < h; ++y)
+        rows[y] = buf.data() + static_cast<size_t>(y) * w * 3;
+      png_read_image(png, rows.data());
+      ok = true;
+    } while (false);
+  } catch (...) {
+  }
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
+  if (!ok) return false;
 
   if (w == static_cast<png_uint_32>(size) &&
       h == static_cast<png_uint_32>(size)) {
