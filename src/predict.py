@@ -82,7 +82,10 @@ def main():
     from xgan.io_.export import make_classifier_infer
     infer = jax.jit(make_classifier_infer(model, variables))
 
-    preds, probs = [], []
+    # Device results stay un-synced inside the loop (jax async dispatch):
+    # the host decodes batch i+1 while the device classifies batch i.
+    # Labels/probs are (B,) — deferring the device_get costs nothing.
+    pending = []
     for start in range(0, len(files), batch):
         chunk = files[start:start + batch]
         paths = [os.path.join(args.input_dir, f) for f in chunk]
@@ -91,8 +94,11 @@ def main():
             pad = np.repeat(imgs[-1:], batch - imgs.shape[0], axis=0)
             imgs = np.concatenate([imgs, pad])
         p, pr = infer(mesh_ctx.shard_array(imgs))
-        preds.extend(np.asarray(p)[:len(chunk)].tolist())
-        probs.extend(np.asarray(pr)[:len(chunk)].tolist())
+        pending.append((p, pr, len(chunk)))
+    preds, probs = [], []
+    for p, pr, n in pending:
+        preds.extend(np.asarray(p)[:n].tolist())
+        probs.extend(np.asarray(pr)[:n].tolist())
 
     results = {
         "model": args.model_path,
