@@ -2,19 +2,23 @@
 """Minimal HTTP model server (beyond-reference capability; the reference
 has no serving path at all).
 
-Serves a trained pneumonia classifier over HTTP:
+Serves either model family:
 
-    POST /predict   body = PNG bytes -> {"label": 0|1,
-                                         "prob_positive": float}
-    GET  /healthz   -> {"ok": true, "model": ..., "image_size": ...}
+    classifier  POST /predict   body = PNG bytes
+                                -> {"label": 0|1, "prob_positive": float}
+    generator   POST /generate  body = {"seed": int[, "label": 0|1]}
+                                -> PNG bytes (one synthetic image;
+                                   z = normal(key(seed), (1, latent)))
+    both        GET  /healthz   -> {"ok": true, "kind": ..., ...}
 
 ``--model-path`` accepts a self-contained StableHLO artifact written by
-src/export_model.py (.stablehlo — image size is read from the artifact's
-input signature, no model flags needed) or a classifier checkpoint
-(.msgpack ours / .pth reference-layout, built with --image-size).
-Requests are decoded to RGB, bilinear-resized, and classified by the
-same uint8->probability program predict.py uses; inference runs jitted
-under a lock (one compiled program, any number of request threads).
+src/export_model.py (.stablehlo — the model kind, image size and latent
+dim are read from the artifact's input signature, no model flags needed)
+or a classifier checkpoint (.msgpack ours / .pth reference-layout, built
+with --image-size; generator checkpoints need their model flags, so
+export them to an artifact first). Inference runs jitted under a lock
+(one compiled program, any number of request threads), and the
+classifier path is the same uint8->probability program predict.py uses.
 """
 import argparse
 import io
@@ -28,10 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_parser():
     p = argparse.ArgumentParser(
-        description="Serve a trained xgan classifier over HTTP")
+        description="Serve a trained xgan model over HTTP")
     p.add_argument("--model-path", type=str, required=True,
-                   help=".stablehlo artifact (export_model.py) or "
-                        "classifier checkpoint (.msgpack/.pth)")
+                   help=".stablehlo artifact (export_model.py; classifier "
+                        "or generator) or classifier checkpoint "
+                        "(.msgpack/.pth)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--image-size", type=int, default=224,
@@ -42,8 +47,9 @@ def build_parser():
     return p
 
 
-def make_infer(args):
-    """Returns (infer(u8 (1,s,s,3)) -> (label, prob), image_size)."""
+def make_model(args):
+    """Returns a descriptor dict: kind 'classifier' (infer, image_size)
+    or kind 'generator' (generate, latent_dim, conditional)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,24 +57,43 @@ def make_infer(args):
         from xgan.io_.export import load_exported
         art = load_exported(args.model_path)
         avals = art.in_avals
-        # classifier signature: one uint8 (b, s, s, 3) input. A generator
-        # artifact (z (b, latent) float32 in) must be rejected with a
-        # structured message, not crash at the warm-up call.
-        if (len(avals) != 1 or len(avals[0].shape) != 4
-                or avals[0].dtype != jnp.uint8):
-            raise ValueError(
-                f"{args.model_path} is not a classifier artifact "
-                f"(input signature {[(a.shape, str(a.dtype)) for a in avals]}; "
-                "expected one uint8 (batch, size, size, 3) input — "
-                "generator artifacts cannot be served by serve.py)")
-        size = avals[0].shape[1]
         # jit the call: eager Exported.call re-traces per request
         run = jax.jit(art.call)
 
-        def infer(u8):
-            labels, probs = run(u8)
-            return int(labels[0]), float(probs[0])
-        return infer, int(size)
+        if (len(avals) == 1 and len(avals[0].shape) == 4
+                and avals[0].dtype == jnp.uint8):
+            # classifier: one uint8 (b, s, s, 3) input
+            def infer(u8):
+                labels, probs = run(u8)
+                return int(labels[0]), float(probs[0])
+            return {"kind": "classifier", "infer": infer,
+                    "image_size": int(avals[0].shape[1])}
+
+        if (len(avals) in (1, 2) and len(avals[0].shape) == 2
+                and avals[0].dtype == jnp.float32):
+            # generator: z (b, latent) float32 [+ labels (b,) int32]
+            latent = int(avals[0].shape[1])
+            conditional = len(avals) == 2
+
+            def generate(seed, label=None):
+                z = jax.random.normal(jax.random.key(seed), (1, latent),
+                                      jnp.float32)
+                if conditional:
+                    import numpy as np
+                    imgs = run(z, np.asarray([label or 0], np.int32))
+                else:
+                    imgs = run(z)
+                import numpy as np
+                return np.asarray(imgs[0])
+            return {"kind": "generator", "generate": generate,
+                    "latent_dim": latent, "conditional": conditional}
+
+        raise ValueError(
+            f"{args.model_path}: unrecognized artifact signature "
+            f"{[(a.shape, str(a.dtype)) for a in avals]}; expected a "
+            "classifier (one uint8 (b,s,s,3) input) or generator "
+            "(float32 (b,latent) [+ int32 labels]) export from "
+            "src/export_model.py")
 
     from xgan.io_.checkpoint import load_classifier_variables
     from xgan.io_.export import make_classifier_infer
@@ -85,7 +110,8 @@ def make_infer(args):
     def infer(u8):
         labels, probs = run(u8)
         return int(labels[0]), float(probs[0])
-    return infer, args.image_size
+    return {"kind": "classifier", "infer": infer,
+            "image_size": args.image_size}
 
 
 def main():
@@ -102,16 +128,28 @@ def main():
         print(f"Error: model not found at {args.model_path}")
         sys.exit(1)
     try:
-        infer, size = make_infer(args)
+        desc = make_model(args)
         # compile before accepting traffic so the first request is fast;
         # inside the envelope: a malformed artifact must fail structured
-        infer(np.zeros((1, size, size, 3), np.uint8))
+        if desc["kind"] == "classifier":
+            size = desc["image_size"]
+            desc["infer"](np.zeros((1, size, size, 3), np.uint8))
+        else:
+            img = desc["generate"](0)
+            desc["image_size"] = int(img.shape[0])
     except Exception as e:  # noqa: BLE001 — structured CLI error contract
         print(f"Error loading model: {e}")
         sys.exit(1)
 
     lock = threading.Lock()
     model_name = os.path.basename(args.model_path)
+    kind = desc["kind"]
+    size = desc["image_size"]
+    health = {"ok": True, "model": model_name, "kind": kind,
+              "image_size": size}
+    if kind == "generator":
+        health.update(latent_dim=desc["latent_dim"],
+                      conditional=desc["conditional"])
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code, obj):
@@ -124,40 +162,71 @@ def main():
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True, "model": model_name,
-                                 "image_size": size})
+                self._json(200, health)
             else:
                 self._json(404, {"error": "unknown path"})
 
-        def do_POST(self):
-            if self.path != "/predict":
-                self._json(404, {"error": "unknown path"})
-                return
+        def _read_body(self, limit):
             try:
                 n = int(self.headers.get("Content-Length", 0))
             except (TypeError, ValueError):
                 n = -1
-            if n <= 0 or n > 64 * 1024 * 1024:
+            if n <= 0 or n > limit:
                 self._json(400, {"error": "bad Content-Length"})
+                return None
+            return self.rfile.read(n)
+
+        def do_POST(self):
+            if self.path == "/predict" and kind == "classifier":
+                body = self._read_body(64 * 1024 * 1024)
+                if body is None:
+                    return
+                try:
+                    img = Image.open(io.BytesIO(body)).convert("RGB")
+                    if img.size != (size, size):
+                        img = img.resize((size, size), Image.BILINEAR)
+                    u8 = np.asarray(img, np.uint8)[None]
+                except Exception as e:  # corrupt/unsupported image
+                    self._json(400,
+                               {"error": f"could not decode image: {e}"})
+                    return
+                with lock:
+                    label, prob = desc["infer"](u8)
+                self._json(200, {"label": label, "prob_positive": prob})
                 return
-            try:
-                img = Image.open(io.BytesIO(self.rfile.read(n)))
-                img = img.convert("RGB")
-                if img.size != (size, size):
-                    img = img.resize((size, size), Image.BILINEAR)
-                u8 = np.asarray(img, np.uint8)[None]
-            except Exception as e:  # corrupt/unsupported image
-                self._json(400, {"error": f"could not decode image: {e}"})
+            if self.path == "/generate" and kind == "generator":
+                body = self._read_body(1 << 16)
+                if body is None:
+                    return
+                try:
+                    req = json.loads(body or b"{}")
+                    seed = int(req.get("seed", 0))
+                    label = req.get("label")
+                    if desc["conditional"] and label is not None:
+                        label = int(label)
+                except (ValueError, TypeError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": f"bad request body: {e}"})
+                    return
+                with lock:
+                    img = desc["generate"](seed, label)
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, format="PNG")
+                png = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
                 return
-            with lock:
-                label, prob = infer(u8)
-            self._json(200, {"label": label, "prob_positive": prob})
+            self._json(404, {"error": f"unknown path for a {kind} model "
+                                      "(classifiers serve /predict, "
+                                      "generators /generate)"})
 
         def log_message(self, fmt, *a):  # quiet access log
             pass
 
     srv = ThreadingHTTPServer((args.host, args.port), Handler)
-    print(f"Serving {model_name} (image_size={size}) on "
+    print(f"Serving {model_name} ({kind}, image_size={size}) on "
           f"http://{args.host}:{srv.server_address[1]}")
     try:
         srv.serve_forever()

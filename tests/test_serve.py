@@ -71,6 +71,49 @@ def _post(port, path, data):
         return e.code, json.loads(e.read())
 
 
+def test_serve_generator_artifact(tmp_path):
+    """A generator .stablehlo serves POST /generate: the returned PNG
+    must equal the live model's output for the documented z derivation
+    (z = normal(key(seed), (1, latent)))."""
+    from PIL import Image
+
+    from xgan.data.pipeline import tanh_to_u8
+    from xgan.io_.export import export_generator, save_exported
+    from xgan.models.dcgan import Generator
+
+    model = Generator(latent_dim=16, feature_maps=8, image_size=32)
+    v = model.init(jax.random.key(1), jnp.zeros((1, 16)), train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    path = str(tmp_path / "gen.stablehlo")
+    save_exported(path, export_generator(model, v, 16))
+
+    z = jax.random.normal(jax.random.key(3), (1, 16), jnp.float32)
+    want = np.asarray(tanh_to_u8(model.apply(v, z, train=False)))[0]
+
+    proc, port = _start(path)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["kind"] == "generator"
+        assert health["latent_dim"] == 16 and not health["conditional"]
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"seed": 3}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            got = np.asarray(Image.open(io.BytesIO(r.read())))
+        np.testing.assert_array_equal(got, want)
+
+        # wrong endpoint for the model kind -> structured 404
+        status, out = _post(port, "/predict", b"{}")
+        assert status == 404 and "generators" in out["error"]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 @pytest.mark.parametrize("fmt", ["stablehlo", "msgpack"])
 def test_serve_predict_parity(tmp_path, fmt):
     from PIL import Image
