@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--skip-verify", action="store_true",
                    help="skip the reload + numeric check after export")
     p.add_argument("--cpu", action="store_true")
+    from xgan import config
+    config.add_compute_dtype_arg(p)  # BAKED INTO the artifact: 'auto'
+    # resolves on the exporting machine's backend — pass bf16 explicitly
+    # when exporting on a CPU box for TPU serving
     return p
 
 
@@ -56,6 +60,8 @@ def main():
                                  load_exported, save_exported)
     from xgan.train.sample import load_generator
 
+    from xgan.train.gan_loop import resolve_dtype
+    dtype = resolve_dtype(args.compute_dtype)
     conditional = args.kind == "cgan"
     if args.kind == "classifier":
         from xgan.io_.checkpoint import load_classifier_variables
@@ -63,7 +69,7 @@ def main():
         if not os.path.exists(args.model_path):
             print(f"Error: model checkpoint not found at {args.model_path}")
             sys.exit(1)
-        model = ResNet50(num_classes=args.num_classes)
+        model = ResNet50(num_classes=args.num_classes, dtype=dtype)
         like = model.init(
             jax.random.key(0),
             jnp.zeros((1, args.image_size, args.image_size, 3)),
@@ -88,7 +94,7 @@ def main():
             fm = 32 if conditional else 64
         model = Generator(latent_dim=args.latent_dim,
                           feature_maps=fm,
-                          image_size=args.image_size)
+                          image_size=args.image_size, dtype=dtype)
         example = (jnp.zeros((2, args.latent_dim)),)
         if conditional:
             example = example + (jnp.zeros((2,), jnp.int32),)

@@ -8,6 +8,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+from xgan import config  # noqa: E402
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         description="Generate synthetic images using a trained WGAN-GP "
@@ -23,6 +26,7 @@ def build_parser():
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
+    config.add_compute_dtype_arg(p)
     return p
 
 
@@ -30,13 +34,16 @@ def main():
     args = build_parser().parse_args()
     from xgan import config
     config.apply_device_flag(args)
+    from xgan.train.gan_loop import resolve_dtype
+    dtype = resolve_dtype(args.compute_dtype)
     import jax.numpy as jnp
     from xgan.models import wgan
     from xgan.train.sample import generate_images, load_generator
 
     model = wgan.Generator(latent_dim=args.latent_dim,
                            feature_maps=args.feature_maps_g,
-                           image_size=args.image_size)
+                           image_size=args.image_size,
+                           dtype=dtype)
     variables = load_generator(model, args.model_path,
                                (jnp.zeros((2, args.latent_dim)),),
                                torch_kind="wgan")

@@ -30,6 +30,8 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--cpu", action="store_true")
+    from xgan import config
+    config.add_compute_dtype_arg(p)
     return p
 
 
@@ -60,7 +62,8 @@ def main():
         sys.exit(1)
     print(f"Classifying {len(files)} images from {args.input_dir}")
 
-    model = ResNet50(num_classes=2)
+    from xgan.train.gan_loop import resolve_dtype
+    model = ResNet50(num_classes=2, dtype=resolve_dtype(args.compute_dtype))
     like = model.init(jax.random.key(0),
                       jnp.zeros((1, args.image_size, args.image_size, 3)),
                       train=False)

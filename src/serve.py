@@ -44,7 +44,9 @@ def build_parser():
                         "own input signature")
     p.add_argument("--num-classes", type=int, default=2)
     p.add_argument("--cpu", action="store_true")
-    return p
+    from xgan import config
+    config.add_compute_dtype_arg(p)  # checkpoint branch only; artifacts
+    return p                         # baked their dtype at export time
 
 
 def make_model(args):
@@ -98,7 +100,9 @@ def make_model(args):
     from xgan.io_.checkpoint import load_classifier_variables
     from xgan.io_.export import make_classifier_infer
     from xgan.models.resnet import ResNet50
-    model = ResNet50(num_classes=args.num_classes)
+    from xgan.train.gan_loop import resolve_dtype
+    model = ResNet50(num_classes=args.num_classes,
+                     dtype=resolve_dtype(args.compute_dtype))
     like = model.init(
         jax.random.key(0),
         jnp.zeros((1, args.image_size, args.image_size, 3)), train=False)

@@ -87,6 +87,17 @@ def test_generate_flags(script, fm):
         p.parse_args([])
 
 
+@pytest.mark.parametrize("script", [
+    "generate_synthetic", "generate_synthetic_cgan", "generate_synthetic_wgan",
+    "predict", "serve", "export_model"])
+def test_inference_compute_dtype_flag(script):
+    """Inference-only CLIs accept --compute-dtype (TPU extra: without it
+    these paths ran fp32 on TPU, ~half MXU rate). 'auto' resolves per
+    backend (bf16 on TPU, f32 on CPU) like the trainers' flag."""
+    d = defaults(load_parser(script))
+    assert d["compute_dtype"] == "auto"
+
+
 def test_analyze_results_flags():
     d = defaults(load_parser("analyze_results"))
     # reference analyze_results.py:586-609

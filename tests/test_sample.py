@@ -65,6 +65,43 @@ def test_generate_conditional(tmp_path):
     assert len(glob.glob(os.path.join(out_dir, "*.png"))) == 6
 
 
+def test_generate_images_bf16_compute(tmp_path):
+    """The samplers' --compute-dtype bf16 path: an f32 checkpoint loads
+    into a bf16-compute Generator unchanged (flax `dtype` is compute-only;
+    params stay f32) and renders images close to the f32 render."""
+    from xgan.io_.checkpoint import save_variables
+    from xgan.models import dcgan
+    from xgan.train.sample import generate_images, load_generator
+
+    f32 = dcgan.Generator(latent_dim=8, feature_maps=4, image_size=32)
+    variables = f32.init(jax.random.key(0), jnp.zeros((2, 8)), train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    ckpt = str(tmp_path / "generator_final.msgpack")
+    save_variables(ckpt, variables)
+
+    bf16 = dcgan.Generator(latent_dim=8, feature_maps=4, image_size=32,
+                           dtype=jnp.bfloat16)
+    loaded = load_generator(bf16, ckpt, (jnp.zeros((2, 8)),))
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree_util.tree_leaves(loaded["params"]))
+
+    out32, out16 = str(tmp_path / "f32"), str(tmp_path / "bf16")
+    for model, vs, out in ((f32, variables, out32), (bf16, loaded, out16)):
+        n = generate_images(model, vs, output_dir=out, num_images=4,
+                            latent_dim=8, batch_size=4, seed=0)
+        assert n == 4
+    from PIL import Image
+    for i in range(1, 5):
+        name = f"synthetic_{i:05d}.png"
+        a = np.asarray(Image.open(os.path.join(out32, name)), np.int16)
+        b = np.asarray(Image.open(os.path.join(out16, name)), np.int16)
+        # bf16 has ~2^-8 relative precision; through 3 conv/BN layers the
+        # u8 render stays within a few levels of the f32 one
+        assert np.abs(a - b).mean() < 4.0
+        assert np.abs(a - b).max() <= 32
+
+
 def test_missing_checkpoint_exits(tmp_path):
     from xgan.models import dcgan
     from xgan.train.sample import load_generator

@@ -22,6 +22,15 @@ from __future__ import annotations
 import argparse
 
 
+def add_compute_dtype_arg(p: argparse.ArgumentParser):
+    """For inference-only CLIs (samplers, predict, serve, export): the
+    compute dtype the trainers get via add_tpu_args. Without it these
+    paths ran fp32 on TPU — roughly half the MXU rate for free."""
+    p.add_argument("--compute-dtype", type=str, default="auto",
+                   choices=["auto", "bf16", "f32"],
+                   help="auto: bf16 on TPU, f32 on CPU")
+
+
 def add_path_args(p: argparse.ArgumentParser):
     p.add_argument("--data-dir", type=str, default="./data/processed",
                    help="Path to the processed dataset directory")
