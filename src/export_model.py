@@ -60,8 +60,7 @@ def main():
                                  load_exported, save_exported)
     from xgan.train.sample import load_generator
 
-    from xgan.train.gan_loop import resolve_dtype
-    dtype = resolve_dtype(args.compute_dtype)
+    dtype = config.resolve_dtype(args.compute_dtype)
     conditional = args.kind == "cgan"
     if args.kind == "classifier":
         from xgan.io_.checkpoint import load_classifier_variables
@@ -125,8 +124,11 @@ def main():
             jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1])
         _, got_probs = art.call(x)
         # probabilities, not argmax labels: a near-tie would make label
-        # equality flicker on harmless last-ulp compilation differences
-        ok = np.allclose(np.asarray(got_probs), want_probs, atol=1e-5)
+        # equality flicker on harmless last-ulp compilation differences.
+        # bf16 compute: eager-vs-compiled op reassociation perturbs logits
+        # at ~2^-8 relative, so the prob tolerance must scale with dtype
+        atol = 1e-5 if dtype == jnp.float32 else 2e-2
+        ok = np.allclose(np.asarray(got_probs), want_probs, atol=atol)
     else:
         from xgan.data.pipeline import tanh_to_u8
         z = rng.normal(size=(2, args.latent_dim)).astype(np.float32)
@@ -139,7 +141,11 @@ def main():
             want = tanh_to_u8(model.apply(variables, jnp.asarray(z),
                                           train=False))
             got = art.call(z)
-        ok = np.array_equal(np.asarray(got), np.asarray(want))
+        # f32 renders match bitwise; under bf16 a last-ulp tanh difference
+        # between the eager and compiled programs can flip u8 rounding ±1
+        tol = 0 if dtype == jnp.float32 else 1
+        diff = np.abs(np.asarray(got, np.int16) - np.asarray(want, np.int16))
+        ok = int(diff.max()) <= tol
     if not ok:
         print("Error: exported artifact disagrees with the live model")
         sys.exit(1)

@@ -32,10 +32,8 @@ def build_parser():
 
 def main():
     args = build_parser().parse_args()
-    from xgan import config
     config.apply_device_flag(args)
-    from xgan.train.gan_loop import resolve_dtype
-    dtype = resolve_dtype(args.compute_dtype)
+    dtype = config.resolve_dtype(args.compute_dtype)
     import jax.numpy as jnp
     from xgan.models import dcgan
     from xgan.train.sample import generate_images, load_generator

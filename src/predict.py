@@ -62,8 +62,8 @@ def main():
         sys.exit(1)
     print(f"Classifying {len(files)} images from {args.input_dir}")
 
-    from xgan.train.gan_loop import resolve_dtype
-    model = ResNet50(num_classes=2, dtype=resolve_dtype(args.compute_dtype))
+    model = ResNet50(num_classes=2,
+                     dtype=config.resolve_dtype(args.compute_dtype))
     like = model.init(jax.random.key(0),
                       jnp.zeros((1, args.image_size, args.image_size, 3)),
                       train=False)

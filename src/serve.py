@@ -54,6 +54,7 @@ def make_model(args):
     or kind 'generator' (generate, latent_dim, conditional)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     if args.model_path.endswith(".stablehlo"):
         from xgan.io_.export import load_exported
@@ -81,11 +82,9 @@ def make_model(args):
                 z = jax.random.normal(jax.random.key(seed), (1, latent),
                                       jnp.float32)
                 if conditional:
-                    import numpy as np
                     imgs = run(z, np.asarray([label or 0], np.int32))
                 else:
                     imgs = run(z)
-                import numpy as np
                 return np.asarray(imgs[0])
             return {"kind": "generator", "generate": generate,
                     "latent_dim": latent, "conditional": conditional}
@@ -97,12 +96,12 @@ def make_model(args):
             "(float32 (b,latent) [+ int32 labels]) export from "
             "src/export_model.py")
 
+    from xgan import config
     from xgan.io_.checkpoint import load_classifier_variables
     from xgan.io_.export import make_classifier_infer
     from xgan.models.resnet import ResNet50
-    from xgan.train.gan_loop import resolve_dtype
     model = ResNet50(num_classes=args.num_classes,
-                     dtype=resolve_dtype(args.compute_dtype))
+                     dtype=config.resolve_dtype(args.compute_dtype))
     like = model.init(
         jax.random.key(0),
         jnp.zeros((1, args.image_size, args.image_size, 3)), train=False)
@@ -170,17 +169,23 @@ def main():
             else:
                 self._json(404, {"error": "unknown path"})
 
-        def _read_body(self, limit):
+        def _read_body(self, limit, allow_empty=False):
             try:
                 n = int(self.headers.get("Content-Length", 0))
             except (TypeError, ValueError):
                 n = -1
-            if n <= 0 or n > limit:
+            if n < 0 or (n == 0 and not allow_empty) or n > limit:
                 self._json(400, {"error": "bad Content-Length"})
                 return None
             return self.rfile.read(n)
 
         def do_POST(self):
+            try:
+                self._post()
+            except OSError:
+                pass  # client went away mid-request/response
+
+        def _post(self):
             if self.path == "/predict" and kind == "classifier":
                 body = self._read_body(64 * 1024 * 1024)
                 if body is None:
@@ -199,15 +204,21 @@ def main():
                 self._json(200, {"label": label, "prob_positive": prob})
                 return
             if self.path == "/generate" and kind == "generator":
-                body = self._read_body(1 << 16)
+                body = self._read_body(1 << 16, allow_empty=True)
                 if body is None:
                     return
                 try:
                     req = json.loads(body or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError("body must be a JSON object")
                     seed = int(req.get("seed", 0))
+                    if not -2**63 <= seed < 2**63:
+                        raise ValueError("seed out of int64 range")
                     label = req.get("label")
                     if desc["conditional"] and label is not None:
                         label = int(label)
+                        if not 0 <= label < 2**31:
+                            raise ValueError("label out of int32 range")
                 except (ValueError, TypeError, json.JSONDecodeError) as e:
                     self._json(400, {"error": f"bad request body: {e}"})
                     return

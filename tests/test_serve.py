@@ -109,6 +109,27 @@ def test_serve_generator_artifact(tmp_path):
         # wrong endpoint for the model kind -> structured 404
         status, out = _post(port, "/predict", b"{}")
         assert status == 404 and "generators" in out["error"]
+
+        # non-object JSON bodies -> structured 400, not a dead thread
+        for bad in (b"5", b"null", b'"x"', b"[1]"):
+            status, out = _post(port, "/generate", bad)
+            assert status == 400 and "error" in out, bad
+        # values that json/int() accept but the device path cannot
+        status, out = _post(port, "/generate",
+                            json.dumps({"seed": 2**64}).encode())
+        assert status == 400 and "seed" in out["error"]
+        # bare POST (Content-Length 0) -> defaults to seed 0
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b"", method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"] == "image/png"
+        # server still alive and correct after the error barrage
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"seed": 3}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            got = np.asarray(Image.open(io.BytesIO(r.read())))
+        np.testing.assert_array_equal(got, want)
     finally:
         proc.terminate()
         proc.wait(timeout=30)

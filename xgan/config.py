@@ -31,6 +31,18 @@ def add_compute_dtype_arg(p: argparse.ArgumentParser):
                    help="auto: bf16 on TPU, f32 on CPU")
 
 
+def resolve_dtype(name: str):
+    """Map a --compute-dtype value to a jnp dtype ('auto' resolves per
+    backend). Lives here, not in a trainer module, so inference CLIs can
+    resolve it without importing the training stack."""
+    import jax
+    import jax.numpy as jnp
+    if name == "auto":
+        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+            "f32": jnp.float32, "float32": jnp.float32}[name]
+
+
 def add_path_args(p: argparse.ArgumentParser):
     p.add_argument("--data-dir", type=str, default="./data/processed",
                    help="Path to the processed dataset directory")
@@ -72,8 +84,7 @@ def add_tpu_args(p: argparse.ArgumentParser):
     p.add_argument("--image-size", type=int, default=224,
                    help="Image size (multiple of 32; 224 = reference)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--compute-dtype", type=str, default="auto",
-                   choices=["auto", "bf16", "f32"])
+    add_compute_dtype_arg(p)
     p.add_argument("--cache-dir", type=str, default="./data/cache")
     p.add_argument("--limit-batches", type=int, default=0,
                    help="Debug: cap batches per epoch (0 = all)")

@@ -29,13 +29,8 @@ from xgan.train.loop_common import batch_tail_mask, grid_iters, \
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
-
-
-def resolve_dtype(name: str):
-    if name == "auto":
-        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
-    return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
-            "f32": jnp.float32, "float32": jnp.float32}[name]
+# re-export: the other trainer loops import resolve_dtype from here
+from xgan.config import resolve_dtype  # noqa: F401
 
 
 def load_train_store(data_dir: str, image_size: int, cache_dir: str):
