@@ -82,9 +82,11 @@ def test_generator_artifact_matches_live_model(tmp_path, kind):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_export_cli_roundtrip(tmp_path):
+@pytest.mark.parametrize("dtype_flag", ["auto", "bf16"])
+def test_export_cli_roundtrip(tmp_path, dtype_flag):
     """Real CLI: train-free DCGAN checkpoint -> artifact, with the
-    built-in reload-verify step; then the fail-fast envelope."""
+    built-in reload-verify step (both the f32 bitwise and the bf16
+    ±1-u8-level verify branches); then the fail-fast envelope."""
     from xgan.io_.checkpoint import save_variables
     from xgan.models.dcgan import Generator
 
@@ -99,7 +101,7 @@ def test_export_cli_roundtrip(tmp_path):
         [sys.executable, os.path.join(SRC, "export_model.py"), "--cpu",
          "--kind", "gan", "--model-path", ckpt, "--output", out,
          "--latent-dim", "16", "--feature-maps-g", "8",
-         "--image-size", "32"],
+         "--image-size", "32", "--compute-dtype", dtype_flag],
         capture_output=True, text=True, timeout=500)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Verified: artifact output matches the live model." in r.stdout

@@ -401,6 +401,10 @@ def main():
         ("exported_resnet50_infer_224px_b128",
          "Exported StableHLO classifier artifact, 224px b128 inference",
          lambda: bench_exported_classifier(dtype, 224, 128)),
+        ("exported_resnet50_infer_224px_b128_f32",
+         "Same artifact in f32: the A/B for the inference CLIs' "
+         "--compute-dtype default (auto->bf16 on TPU)",
+         lambda: bench_exported_classifier(jnp.float32, 224, 128)),
     ]
     only = set(args.only.split(",")) if args.only else None
     if only is not None:
