@@ -48,7 +48,7 @@ def _wait_for_default_backend(budget_s: float = 480.0) -> bool:
     carries the backend suffix)."""
     import subprocess
     deadline = time.time() + budget_s
-    attempt = 0
+    attempt = fast_fails = 0
     while time.time() < deadline:
         attempt += 1
         left = max(deadline - time.time(), 10.0)
@@ -58,6 +58,14 @@ def _wait_for_default_backend(budget_s: float = 480.0) -> bool:
                 capture_output=True, timeout=min(150.0, left))
             if r.returncode == 0:
                 return True
+            # a RAISING init (broken plugin) is deterministic — burning
+            # the whole budget on identical retries helps nobody; only
+            # hangs (TimeoutExpired) are worth the full budget
+            fast_fails += 1
+            if fast_fails >= 2:
+                print("note: default-backend init raises (not hangs); "
+                      "skipping remaining probes", file=sys.stderr)
+                return False
         except subprocess.TimeoutExpired:
             pass
         print(f"note: default-backend probe {attempt} failed; retrying",

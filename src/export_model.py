@@ -91,9 +91,10 @@ def main():
         fm = args.feature_maps_g
         if fm is None:  # mirror each family's training/sampler default
             fm = 32 if conditional else 64
+        kw = {"num_classes": args.num_classes} if conditional else {}
         model = Generator(latent_dim=args.latent_dim,
                           feature_maps=fm,
-                          image_size=args.image_size, dtype=dtype)
+                          image_size=args.image_size, dtype=dtype, **kw)
         example = (jnp.zeros((2, args.latent_dim)),)
         if conditional:
             example = example + (jnp.zeros((2,), jnp.int32),)

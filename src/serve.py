@@ -86,8 +86,11 @@ def make_model(args):
                 else:
                     imgs = run(z)
                 return np.asarray(imgs[0])
+            # the artifact's signature carries no class count; trust the
+            # --num-classes flag (default 2, both reference families)
             return {"kind": "generator", "generate": generate,
-                    "latent_dim": latent, "conditional": conditional}
+                    "latent_dim": latent, "conditional": conditional,
+                    "num_classes": args.num_classes}
 
         raise ValueError(
             f"{args.model_path}: unrecognized artifact signature "
@@ -153,8 +156,15 @@ def main():
     if kind == "generator":
         health.update(latent_dim=desc["latent_dim"],
                       conditional=desc["conditional"])
+        if desc["conditional"]:
+            health.update(num_classes=desc["num_classes"])
 
     class Handler(BaseHTTPRequestHandler):
+        # bound the per-connection socket: a client that under-delivers
+        # Content-Length would otherwise pin a handler thread forever
+        # (the read raises socket.timeout -> OSError barrier below)
+        timeout = 120
+
         def _json(self, code, obj):
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -217,8 +227,12 @@ def main():
                     label = req.get("label")
                     if desc["conditional"] and label is not None:
                         label = int(label)
-                        if not 0 <= label < 2**31:
-                            raise ValueError("label out of int32 range")
+                        if not 0 <= label < desc["num_classes"]:
+                            # XLA clamps out-of-range embedding gathers
+                            # silently — a wrong-class image, not an error
+                            raise ValueError(
+                                f"label must be in "
+                                f"[0, {desc['num_classes']})")
                 except (ValueError, TypeError, json.JSONDecodeError) as e:
                     self._json(400, {"error": f"bad request body: {e}"})
                     return

@@ -116,3 +116,29 @@ def test_export_cli_roundtrip(tmp_path, dtype_flag):
     assert r.returncode == 1
     assert "Error" in r.stdout
     assert "Traceback" not in r.stderr
+
+
+def test_export_cli_cgan_num_classes(tmp_path):
+    """--num-classes reaches the CGAN Generator: a 3-class conditional
+    checkpoint exports (previously the model was always built 2-class
+    and the shape check rejected it with no flag that could fix it)."""
+    from xgan.io_.checkpoint import save_variables
+    from xgan.models.cgan import Generator
+
+    model = Generator(latent_dim=16, feature_maps=8, image_size=32,
+                      num_classes=3)
+    v = model.init(jax.random.key(6), jnp.zeros((1, 16)),
+                   jnp.zeros((1,), jnp.int32), train=False)
+    ckpt = str(tmp_path / "generator_final.msgpack")
+    save_variables(ckpt, {"params": v["params"],
+                          "batch_stats": v["batch_stats"]})
+
+    out = str(tmp_path / "cgen3.stablehlo")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SRC, "export_model.py"), "--cpu",
+         "--kind", "cgan", "--model-path", ckpt, "--output", out,
+         "--latent-dim", "16", "--feature-maps-g", "8",
+         "--image-size", "32", "--num-classes", "3"],
+        capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "Verified: artifact output matches the live model." in r.stdout

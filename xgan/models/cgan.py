@@ -50,7 +50,10 @@ class Generator(nn.Module):
 
         emb = self.param("label_emb", normal_init(1.0),
                          (self.num_classes, self.latent_dim))
-        x = z + emb[labels]
+        # jnp.take, not emb[labels]: checkpoint-restored params can be
+        # numpy arrays (flax from_bytes), and numpy indexing by a tracer
+        # raises at trace time (hit by the jax.export symbolic-batch path)
+        x = z + jnp.take(emb, labels, axis=0)
         x = Dense(nf * 8 * s0 * s0, dtype=self.dtype)(x)
         x = x.reshape(x.shape[0], s0, s0, nf * 8)
 
@@ -124,7 +127,7 @@ class Discriminator(nn.Module):
         flat = h.reshape(h.shape[0], -1).astype(jnp.float32)
         emb = self.param("label_emb", normal_init(1.0),
                          (self.num_classes, nf * 8 * s0 * s0))
-        proj = jnp.sum(emb[labels] * flat, axis=1)
+        proj = jnp.sum(jnp.take(emb, labels, axis=0) * flat, axis=1)
 
         out = Conv(1, kernel=s0, stride=1, padding=0, use_bias=True,
                    torch_bias=True, dtype=self.dtype)(h)

@@ -25,10 +25,14 @@ def _load():
     so = os.path.join(here, "libxganpng.so")
     cpp = os.path.join(here, "png_writer.cpp")
     # Rebuild when missing OR stale: a checkout that built the .so before
-    # a png_writer.cpp change would otherwise keep running the old binary
-    # while tests of the new behavior go green against a fresh build.
-    stale = (os.path.exists(so) and os.path.exists(cpp)
-             and os.path.getmtime(cpp) > os.path.getmtime(so))
+    # a png_writer.cpp (or build-recipe) change would otherwise keep
+    # running the old binary while tests of the new behavior go green
+    # against a fresh build.
+    build_py = os.path.join(here, "build.py")
+    srcs = [p for p in (cpp, build_py) if os.path.exists(p)]
+    stale = (os.path.exists(so) and srcs
+             and max(os.path.getmtime(p) for p in srcs)
+             > os.path.getmtime(so))
     if not os.path.exists(so) or stale:
         try:
             from xgan.native.build import build
