@@ -106,10 +106,18 @@ def main():
         blob = export_generator(model, variables, args.latent_dim,
                                 conditional=conditional)
 
-    save_exported(args.output, blob)
+    meta = {"kind": args.kind, "image_size": args.image_size,
+            "compute_dtype": dtype.__name__}
+    if args.kind == "classifier":
+        meta["num_classes"] = args.num_classes
+    else:
+        meta.update(latent_dim=args.latent_dim, conditional=conditional)
+        if conditional:
+            meta["num_classes"] = args.num_classes
+    save_exported(args.output, blob, meta)
     print(f"Exported {args.kind} -> {args.output} "
           f"({len(blob) / 1e6:.1f} MB, platforms cpu+tpu, "
-          "symbolic batch)")
+          "symbolic batch, self-describing envelope)")
 
     if args.skip_verify:
         return

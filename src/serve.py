@@ -57,8 +57,9 @@ def make_model(args):
     import numpy as np
 
     if args.model_path.endswith(".stablehlo"):
-        from xgan.io_.export import load_exported
-        art = load_exported(args.model_path)
+        from xgan.io_.export import load_exported_with_meta
+        art, meta = load_exported_with_meta(args.model_path)
+        meta = meta or {}  # pre-envelope artifacts: signature sniffing
         avals = art.in_avals
         # jit the call: eager Exported.call re-traces per request
         run = jax.jit(art.call)
@@ -86,11 +87,13 @@ def make_model(args):
                 else:
                     imgs = run(z)
                 return np.asarray(imgs[0])
-            # the artifact's signature carries no class count; trust the
+            # class count: the artifact envelope knows it (export_model
+            # bakes it); pre-envelope artifacts fall back to the
             # --num-classes flag (default 2, both reference families)
             return {"kind": "generator", "generate": generate,
                     "latent_dim": latent, "conditional": conditional,
-                    "num_classes": args.num_classes}
+                    "num_classes": meta.get("num_classes",
+                                            args.num_classes)}
 
         raise ValueError(
             f"{args.model_path}: unrecognized artifact signature "

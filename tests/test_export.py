@@ -142,3 +142,33 @@ def test_export_cli_cgan_num_classes(tmp_path):
         capture_output=True, text=True, timeout=500)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "Verified: artifact output matches the live model." in r.stdout
+
+
+def test_artifact_envelope_roundtrip_and_back_compat(tmp_path):
+    """The self-description envelope: meta round-trips, the Exported
+    still loads and runs, and pre-envelope raw blobs load with meta
+    None."""
+    from xgan.io_.export import (export_generator, load_exported,
+                                 load_exported_with_meta, save_exported)
+    from xgan.models.dcgan import Generator
+
+    model = Generator(latent_dim=16, feature_maps=8, image_size=32)
+    v = model.init(jax.random.key(9), jnp.zeros((1, 16)), train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    blob = export_generator(model, v, 16)
+
+    meta_in = {"kind": "gan", "latent_dim": 16, "conditional": False}
+    enveloped = str(tmp_path / "env.stablehlo")
+    save_exported(enveloped, blob, meta=meta_in)
+    art, meta = load_exported_with_meta(enveloped)
+    assert meta == meta_in
+    z = np.zeros((2, 16), np.float32)
+    assert np.asarray(art.call(z)).shape == (2, 32, 32, 3)
+    # plain load_exported ignores the envelope transparently
+    assert np.asarray(load_exported(enveloped).call(z)).shape[0] == 2
+
+    raw = str(tmp_path / "raw.stablehlo")
+    save_exported(raw, blob)  # no meta: the pre-envelope format
+    art2, meta2 = load_exported_with_meta(raw)
+    assert meta2 is None
+    assert np.asarray(art2.call(z)).shape == (2, 32, 32, 3)

@@ -139,40 +139,44 @@ def test_serve_conditional_generator_label_contract(tmp_path):
     """A cgan artifact serves labeled generation; out-of-range labels
     must 400 — XLA clamps out-of-range embedding gathers silently, so
     without validation the client would get a wrong-class image with a
-    200."""
+    200. The class count comes from the artifact's self-description
+    envelope (3 here), not the server's --num-classes default (2)."""
     from PIL import Image
 
     from xgan.data.pipeline import tanh_to_u8
     from xgan.io_.export import export_generator, save_exported
     from xgan.models.cgan import Generator
 
-    model = Generator(latent_dim=16, feature_maps=8, image_size=32)
+    model = Generator(latent_dim=16, feature_maps=8, image_size=32,
+                      num_classes=3)
     v = model.init(jax.random.key(1), jnp.zeros((1, 16)),
                    jnp.zeros((1,), jnp.int32), train=False)
     v = {"params": v["params"], "batch_stats": v["batch_stats"]}
     path = str(tmp_path / "cgen.stablehlo")
-    save_exported(path, export_generator(model, v, 16, conditional=True))
+    save_exported(path, export_generator(model, v, 16, conditional=True),
+                  meta={"kind": "cgan", "conditional": True,
+                        "latent_dim": 16, "num_classes": 3})
 
     z = jax.random.normal(jax.random.key(5), (1, 16), jnp.float32)
     want = np.asarray(tanh_to_u8(model.apply(
-        v, z, jnp.asarray([1], jnp.int32), train=False)))[0]
+        v, z, jnp.asarray([2], jnp.int32), train=False)))[0]
 
     proc, port = _start(path)
     try:
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
             health = json.loads(r.read())
-        assert health["conditional"] and health["num_classes"] == 2
+        assert health["conditional"] and health["num_classes"] == 3
 
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/generate",
-            data=json.dumps({"seed": 5, "label": 1}).encode(),
+            data=json.dumps({"seed": 5, "label": 2}).encode(),
             method="POST")
         with urllib.request.urlopen(req, timeout=60) as r:
             got = np.asarray(Image.open(io.BytesIO(r.read())))
         np.testing.assert_array_equal(got, want)
 
-        for bad_label in (2, 7, -1):
+        for bad_label in (3, 7, -1):
             status, out = _post(port, "/generate", json.dumps(
                 {"seed": 0, "label": bad_label}).encode())
             assert status == 400 and "label" in out["error"], bad_label

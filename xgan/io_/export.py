@@ -94,14 +94,46 @@ def export_generator(model, variables, latent_dim: int,
                           platforms=tuple(platforms))(zspec).serialize()
 
 
-def save_exported(path: str, blob: bytes) -> None:
+# Self-description envelope (optional, versioned): a JSON header ahead
+# of the raw jax.export bytes so consumers (serve.py) get the model
+# kind / class count / shapes without signature sniffing or flags.
+# Raw blobs without the magic still load — full backward compatibility.
+_MAGIC = b"XGAN.EXPORT.1\n"
+
+
+def save_exported(path: str, blob: bytes, meta: dict | None = None) -> None:
+    import json
+    import struct
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
+        if meta is not None:
+            header = json.dumps(meta, sort_keys=True).encode()
+            f.write(_MAGIC)
+            f.write(struct.pack("<I", len(header)))
+            f.write(header)
         f.write(blob)
+
+
+def _split_envelope(data: bytes):
+    import json
+    import struct
+    if data.startswith(_MAGIC):
+        (n,) = struct.unpack_from("<I", data, len(_MAGIC))
+        off = len(_MAGIC) + 4
+        return json.loads(data[off:off + n]), data[off + n:]
+    return None, data
 
 
 def load_exported(path: str):
     """Deserialize an artifact; run it with ``.call(*args)``."""
+    return load_exported_with_meta(path)[0]
+
+
+def load_exported_with_meta(path: str):
+    """Returns ``(Exported, meta_dict_or_None)``. ``meta`` is None for
+    artifacts written before the envelope existed (or via plain
+    save_exported without meta)."""
     from jax import export as jexport
     with open(path, "rb") as f:
-        return jexport.deserialize(f.read())
+        meta, blob = _split_envelope(f.read())
+    return jexport.deserialize(blob), meta
