@@ -4,11 +4,13 @@ capability: the reference pipeline can train and analyze but has no
 standalone prediction entry point).
 
 Classifies every PNG in --input-dir with a {prefix}resnet50.msgpack
-checkpoint — or a reference-layout torchvision .pth (what the reference's
-train_classifier.py:179-184 writes), detected by extension — and writes
+checkpoint, a reference-layout torchvision .pth (what the reference's
+train_classifier.py:179-184 writes), or a .stablehlo serving artifact
+from src/export_model.py — detected by extension — and writes
 predictions.json: per-image predicted label and positive-class
 probability, plus summary counts. Decoding uses the native threaded
-codec; inference is a jitted, mesh-sharded eval step.
+codec; inference is a jitted, mesh-sharded eval step (artifacts run
+their baked program; input size and dtype come from the artifact).
 """
 import argparse
 import json
@@ -24,7 +26,8 @@ def build_parser():
                     "xgan ResNet-50 checkpoint")
     p.add_argument("--model-path", type=str, required=True,
                    help="e.g. models/baseline_resnet50.msgpack (or a "
-                        "torchvision-layout .pth from the reference)")
+                        "torchvision-layout .pth from the reference, or "
+                        "a .stablehlo artifact from src/export_model.py)")
     p.add_argument("--input-dir", type=str, required=True)
     p.add_argument("--output", type=str, default="predictions.json")
     p.add_argument("--batch-size", type=int, default=64)
@@ -62,28 +65,56 @@ def main():
         sys.exit(1)
     print(f"Classifying {len(files)} images from {args.input_dir}")
 
-    model = ResNet50(num_classes=2,
-                     dtype=config.resolve_dtype(args.compute_dtype))
-    like = model.init(jax.random.key(0),
-                      jnp.zeros((1, args.image_size, args.image_size, 3)),
-                      train=False)
-    try:
-        variables = load_classifier_variables(
-            args.model_path, {"params": like["params"],
-                              "batch_stats": like["batch_stats"]})
-    except Exception as e:  # noqa: BLE001 — structured CLI error contract
-        print(f"Error loading classifier checkpoint: {e}")
-        print("Ensure --model-path is a classifier .msgpack written by "
-              "src/train_classifier.py, or a torchvision-layout .pth "
-              "(full ResNet-50, 2-way head).")
-        sys.exit(1)
+    if args.model_path.endswith(".stablehlo"):
+        # serving artifact: the program (dtype included) is baked; the
+        # input size comes from its signature / envelope
+        from xgan.io_.export import load_exported_with_meta
+        try:
+            art, _meta = load_exported_with_meta(args.model_path)
+            avals = art.in_avals
+            if not (len(avals) == 1 and len(avals[0].shape) == 4
+                    and str(avals[0].dtype) == "uint8"):
+                raise ValueError(
+                    "not a classifier artifact: expected one uint8 "
+                    "(b,s,s,3) input, got "
+                    f"{[(a.shape, str(a.dtype)) for a in avals]}")
+        except Exception as e:  # noqa: BLE001 — structured CLI errors
+            print(f"Error loading serving artifact: {e}")
+            sys.exit(1)
+        size = int(avals[0].shape[1])
+        if size != args.image_size:
+            print(f"Note: artifact takes {size}px input; overriding "
+                  f"--image-size {args.image_size}")
+            args.image_size = size
+        mesh_ctx = create_mesh()
+        batch = mesh_ctx.pad_batch(args.batch_size)
+        infer = jax.jit(art.call)
+        shard = jnp.asarray  # the artifact carries no sharding contract
+    else:
+        model = ResNet50(num_classes=2,
+                         dtype=config.resolve_dtype(args.compute_dtype))
+        like = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, args.image_size, args.image_size, 3)),
+            train=False)
+        try:
+            variables = load_classifier_variables(
+                args.model_path, {"params": like["params"],
+                                  "batch_stats": like["batch_stats"]})
+        except Exception as e:  # noqa: BLE001 — structured CLI errors
+            print(f"Error loading classifier checkpoint: {e}")
+            print("Ensure --model-path is a classifier .msgpack written "
+                  "by src/train_classifier.py, or a torchvision-layout "
+                  ".pth (full ResNet-50, 2-way head).")
+            sys.exit(1)
 
-    mesh_ctx = create_mesh()
-    batch = mesh_ctx.pad_batch(args.batch_size)
-    variables = mesh_ctx.replicate(variables)
+        mesh_ctx = create_mesh()
+        batch = mesh_ctx.pad_batch(args.batch_size)
+        variables = mesh_ctx.replicate(variables)
 
-    from xgan.io_.export import make_classifier_infer
-    infer = jax.jit(make_classifier_infer(model, variables))
+        from xgan.io_.export import make_classifier_infer
+        infer = jax.jit(make_classifier_infer(model, variables))
+        shard = mesh_ctx.shard_array
 
     # Device results stay un-synced inside the loop (jax async dispatch):
     # the host decodes batch i+1 while the device classifies batch i.
@@ -96,7 +127,7 @@ def main():
         if imgs.shape[0] < batch:  # static-shape pad, dropped below
             pad = np.repeat(imgs[-1:], batch - imgs.shape[0], axis=0)
             imgs = np.concatenate([imgs, pad])
-        p, pr = infer(mesh_ctx.shard_array(imgs))
+        p, pr = infer(shard(imgs))
         pending.append((p, pr, len(chunk)))
     preds, probs = [], []
     for p, pr, n in pending:

@@ -58,6 +58,49 @@ def test_predict_cli(tmp_path, fake_dataset):
     data2 = json.loads(open(out2).read())
     assert data2["predictions"] == data["predictions"]
 
+    # Same model as a .stablehlo serving artifact (third accepted
+    # format) — identical predictions, with --image-size overridden by
+    # the artifact's own input signature.
+    from xgan.io_.export import export_classifier, save_exported
+    art_path = str(tmp_path / "baseline.stablehlo")
+    save_exported(art_path, export_classifier(model, {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"]}, 32),
+        meta={"kind": "classifier", "image_size": 32, "num_classes": 2})
+    out3 = str(tmp_path / "preds_art.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SRC, "predict.py"), "--cpu",
+         "--model-path", art_path,
+         "--input-dir", os.path.join(fake_dataset["data_dir"], "Test"),
+         "--output", out3, "--image-size", "224", "--batch-size", "4"],
+        capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "artifact takes 32px input" in r.stdout
+    data3 = json.loads(open(out3).read())
+    # the compiled artifact may differ from the live program in the last
+    # float ulp (op fusion order) — labels exact, probs to 1e-5
+    for a, b in zip(data3["predictions"], data["predictions"]):
+        assert a["file"] == b["file"] and a["label"] == b["label"]
+        assert abs(a["prob_positive"] - b["prob_positive"]) < 1e-5
+
+    # a generator artifact is a structured error, not a shape crash
+    from xgan.io_.export import export_generator
+    from xgan.models.dcgan import Generator
+    g = Generator(latent_dim=8, feature_maps=4, image_size=32)
+    gv = g.init(jax.random.key(1), jnp.zeros((1, 8)), train=False)
+    gen_path = str(tmp_path / "gen.stablehlo")
+    save_exported(gen_path, export_generator(
+        g, {"params": gv["params"], "batch_stats": gv["batch_stats"]}, 8))
+    r = subprocess.run(
+        [sys.executable, os.path.join(SRC, "predict.py"), "--cpu",
+         "--model-path", gen_path,
+         "--input-dir", os.path.join(fake_dataset["data_dir"], "Test"),
+         "--output", out3, "--image-size", "32"],
+        capture_output=True, text=True, timeout=500)
+    assert r.returncode == 1
+    assert "not a classifier artifact" in r.stdout
+    assert "Traceback" not in r.stderr
+
 
 def test_predict_cli_empty_dir(tmp_path):
     empty = tmp_path / "empty"
