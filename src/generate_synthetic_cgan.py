@@ -21,8 +21,9 @@ def build_parser():
         description="Generate synthetic images using a trained conditional "
                     "GAN generator (sharded TPU inference).")
     p.add_argument("--model-path", type=str, required=True,
-                   help="Trained generator checkpoint "
-                        "(e.g. models/gan/generator_final.msgpack)")
+                   help="Trained generator: .msgpack (e.g. "
+                        "models/gan/generator_final.msgpack), a reference "
+                        ".pth, or a .stablehlo artifact")
     p.add_argument("--output-dir", type=str, default="./data/synthetic")
     p.add_argument("--num-images", type=int, default=5000)
     p.add_argument("--latent-dim", type=int, default=100)
@@ -41,8 +42,20 @@ def main():
     dtype = config.resolve_dtype(args.compute_dtype)
     import jax.numpy as jnp
     from xgan.models import cgan
-    from xgan.train.sample import generate_images, load_generator
+    from xgan.train.sample import (generate_images, load_generator,
+                                   load_generator_artifact,
+                                   make_artifact_sampler)
 
+    if args.model_path.endswith(".stablehlo"):
+        art, latent = load_generator_artifact(args.model_path,
+                                              conditional=True)
+        generate_images(None, {}, output_dir=args.output_dir,
+                        num_images=args.num_images, latent_dim=latent,
+                        batch_size=args.batch_size, seed=args.seed,
+                        conditional=True,
+                        sample_override=make_artifact_sampler(
+                            art, latent, conditional=True, num_classes=2))
+        return
     model = cgan.Generator(latent_dim=args.latent_dim,
                            feature_maps=args.feature_maps_g,
                            image_size=args.image_size,

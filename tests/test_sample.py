@@ -109,3 +109,44 @@ def test_missing_checkpoint_exits(tmp_path):
     with pytest.raises(SystemExit):
         load_generator(model, str(tmp_path / "nope.msgpack"),
                        (jnp.zeros((2, 8)),))
+
+
+def test_sampler_cli_from_artifact(tmp_path):
+    """The sampler CLIs accept .stablehlo generator artifacts: PNGs are
+    produced with latent_dim read from the artifact signature, and the
+    conditional sampler rejects an unconditional artifact with a
+    structured error."""
+    import subprocess
+    import sys
+
+    from xgan.io_.export import export_generator, save_exported
+    from xgan.models import dcgan
+
+    SRC = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "src")
+    model = dcgan.Generator(latent_dim=8, feature_maps=4, image_size=32)
+    v = model.init(jax.random.key(0), jnp.zeros((2, 8)), train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    art_path = str(tmp_path / "gen.stablehlo")
+    save_exported(art_path, export_generator(model, v, 8))
+
+    out_dir = str(tmp_path / "synth_art")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SRC, "generate_synthetic.py"),
+         "--cpu", "--model-path", art_path, "--output-dir", out_dir,
+         "--num-images", "6", "--batch-size", "4",
+         "--latent-dim", "999"],  # ignored: the artifact knows its latent
+        capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = sorted(glob.glob(os.path.join(out_dir, "synthetic_*.png")))
+    assert len(files) == 6
+
+    # conditionality mismatch -> structured error, exit 1
+    r = subprocess.run(
+        [sys.executable, os.path.join(SRC, "generate_synthetic_cgan.py"),
+         "--cpu", "--model-path", art_path,
+         "--output-dir", str(tmp_path / "x")],
+        capture_output=True, text=True, timeout=500)
+    assert r.returncode == 1
+    assert "conditional generator artifact" in r.stdout
+    assert "Traceback" not in r.stderr

@@ -70,10 +70,61 @@ def load_generator(model, path: str, example_args, example_kwargs=None,
         sys.exit(1)
 
 
+def load_generator_artifact(path: str, *, conditional: bool):
+    """Load a ``.stablehlo`` generator artifact (src/export_model.py) for
+    sampling; returns ``(exported, latent_dim)``. Structured-error exit
+    when the artifact is not a generator of the expected conditionality —
+    each sampler CLI accepts only its own family's artifacts, mirroring
+    the checkpoint shape checks."""
+    from xgan.io_.export import load_exported_with_meta
+    try:
+        art, _meta = load_exported_with_meta(path)
+        avals = art.in_avals
+        ok = (len(avals) in (1, 2) and len(avals[0].shape) == 2
+              and str(avals[0].dtype) == "float32")
+        if not ok:
+            raise ValueError(
+                "not a generator artifact: expected float32 (b, latent) "
+                f"[+ int32 labels] inputs, got "
+                f"{[(a.shape, str(a.dtype)) for a in avals]}")
+        if (len(avals) == 2) != conditional:
+            want = "conditional" if conditional else "unconditional"
+            have = "conditional" if len(avals) == 2 else "unconditional"
+            raise ValueError(f"this sampler needs a {want} generator "
+                             f"artifact; {path} is {have}")
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001 — structured CLI error contract
+        print(f"Error loading generator artifact: {e}")
+        sys.exit(1)
+    return art, int(avals[0].shape[1])
+
+
+def make_artifact_sampler(art, latent_dim: int, *, conditional: bool,
+                          num_classes: int = 2):
+    """``sample_override`` for generate_images: samples through the baked
+    artifact program (weights + tanh->u8 transform inside; the
+    ``variables`` argument is ignored). Runs on the default device —
+    exported modules carry no sharding contract."""
+    def build(batch):
+        # generate_images jits the returned fn; art.call traces inline
+        def sample(_vs, key):
+            if conditional:
+                kz, kl = jax.random.split(key)
+                z = jax.random.normal(kz, (batch, latent_dim), jnp.float32)
+                labels = jax.random.randint(kl, (batch,), 0, num_classes)
+                return art.call(z, labels)
+            z = jax.random.normal(key, (batch, latent_dim), jnp.float32)
+            return art.call(z)
+        return sample
+    return build
+
+
 def generate_images(model, variables, *, output_dir: str, num_images: int,
                     latent_dim: int, batch_size: int, seed: int = 0,
                     conditional: bool = False, num_classes: int = 2,
-                    name_offset: int = 0, stats: dict = None) -> int:
+                    name_offset: int = 0, stats: dict = None,
+                    sample_override=None) -> int:
     """Sample num_images and write PNGs; returns the count written.
 
     ``stats`` (optional dict) receives ``device_plus_transfer_imgs_per_sec``
@@ -91,7 +142,9 @@ def generate_images(model, variables, *, output_dir: str, num_images: int,
     zspec = jax.sharding.NamedSharding(
         mesh_ctx.mesh, jax.sharding.PartitionSpec("data", None))
 
-    if conditional:
+    if sample_override is not None:
+        sample = sample_override(batch)
+    elif conditional:
         def sample(vs, key):
             kz, kl = jax.random.split(key)
             z = jax.random.normal(kz, (batch, latent_dim), jnp.float32)
