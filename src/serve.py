@@ -16,9 +16,12 @@ src/export_model.py (.stablehlo — the model kind, image size and latent
 dim are read from the artifact's input signature, no model flags needed)
 or a classifier checkpoint (.msgpack ours / .pth reference-layout, built
 with --image-size; generator checkpoints need their model flags, so
-export them to an artifact first). Inference runs jitted under a lock
-(one compiled program, any number of request threads), and the
-classifier path is the same uint8->probability program predict.py uses.
+export them to an artifact first). The classifier path is the same
+uint8->probability program predict.py uses, behind dynamic
+micro-batching: concurrent /predict requests coalesce into one device
+dispatch (padded to --max-batch; one compiled program shape), so
+throughput under load scales with the batch instead of serializing b=1
+calls. Generators run jitted under a lock.
 """
 import argparse
 import io
@@ -43,10 +46,66 @@ def build_parser():
                    help="checkpoint inputs only; artifacts carry their "
                         "own input signature")
     p.add_argument("--num-classes", type=int, default=2)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="dynamic micro-batching cap for /predict: "
+                        "concurrent requests coalesce into one device "
+                        "batch (padded to this size; compiled once)")
     p.add_argument("--cpu", action="store_true")
     from xgan import config
     config.add_compute_dtype_arg(p)  # checkpoint branch only; artifacts
     return p                         # baked their dtype at export time
+
+
+class _Batcher:
+    """Dynamic micro-batching for /predict: concurrent requests that
+    arrive while the device is busy run together in the next dispatch
+    (up to ``max_batch``); an idle server dispatches immediately, so
+    batching adds no latency without load. Every dispatch is PADDED to
+    ``max_batch`` rows — one static program shape, compiled once before
+    traffic (classifier rows are independent: eval-mode BN uses running
+    statistics, so padded rows cannot perturb real ones)."""
+
+    def __init__(self, infer_batch, max_batch: int):
+        self.infer_batch = infer_batch
+        self.max_batch = max_batch
+        self.cond = threading.Condition()
+        self.queue = []  # (image (s,s,3) u8, slot dict) pairs
+        threading.Thread(target=self._worker, daemon=True).start()
+
+    def submit(self, img):
+        slot = {"event": threading.Event()}
+        with self.cond:
+            self.queue.append((img, slot))
+            self.cond.notify()
+        slot["event"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["label"], slot["prob"]
+
+    def _worker(self):
+        import numpy as np
+        while True:
+            with self.cond:
+                while not self.queue:
+                    self.cond.wait()
+                batch = self.queue[:self.max_batch]
+                del self.queue[:self.max_batch]
+            imgs = np.stack([img for img, _ in batch])
+            n = imgs.shape[0]
+            if n < self.max_batch:
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], self.max_batch - n, 0)])
+            try:
+                labels, probs = self.infer_batch(imgs)
+                labels, probs = np.asarray(labels), np.asarray(probs)
+                for i, (_, slot) in enumerate(batch):
+                    slot["label"] = int(labels[i])
+                    slot["prob"] = float(probs[i])
+                    slot["event"].set()
+            except Exception as e:  # wake waiters; surface as HTTP 500
+                for _, slot in batch:
+                    slot["error"] = e
+                    slot["event"].set()
 
 
 def make_model(args):
@@ -67,10 +126,7 @@ def make_model(args):
         if (len(avals) == 1 and len(avals[0].shape) == 4
                 and avals[0].dtype == jnp.uint8):
             # classifier: one uint8 (b, s, s, 3) input
-            def infer(u8):
-                labels, probs = run(u8)
-                return int(labels[0]), float(probs[0])
-            return {"kind": "classifier", "infer": infer,
+            return {"kind": "classifier", "infer_batch": run,
                     "image_size": int(avals[0].shape[1])}
 
         if (len(avals) in (1, 2) and len(avals[0].shape) == 2
@@ -115,11 +171,7 @@ def make_model(args):
         args.model_path, {"params": like["params"],
                           "batch_stats": like["batch_stats"]})
     run = jax.jit(make_classifier_infer(model, variables))
-
-    def infer(u8):
-        labels, probs = run(u8)
-        return int(labels[0]), float(probs[0])
-    return {"kind": "classifier", "infer": infer,
+    return {"kind": "classifier", "infer_batch": run,
             "image_size": args.image_size}
 
 
@@ -136,13 +188,16 @@ def main():
     if not os.path.exists(args.model_path):
         print(f"Error: model not found at {args.model_path}")
         sys.exit(1)
+    batcher = None
     try:
         desc = make_model(args)
         # compile before accepting traffic so the first request is fast;
         # inside the envelope: a malformed artifact must fail structured
         if desc["kind"] == "classifier":
             size = desc["image_size"]
-            desc["infer"](np.zeros((1, size, size, 3), np.uint8))
+            mb = max(1, args.max_batch)
+            desc["infer_batch"](np.zeros((mb, size, size, 3), np.uint8))
+            batcher = _Batcher(desc["infer_batch"], mb)
         else:
             img = desc["generate"](0)
             desc["image_size"] = int(img.shape[0])
@@ -150,12 +205,14 @@ def main():
         print(f"Error loading model: {e}")
         sys.exit(1)
 
-    lock = threading.Lock()
+    lock = threading.Lock()  # generators: one z batch per dispatch
     model_name = os.path.basename(args.model_path)
     kind = desc["kind"]
     size = desc["image_size"]
     health = {"ok": True, "model": model_name, "kind": kind,
               "image_size": size}
+    if kind == "classifier":
+        health.update(max_batch=batcher.max_batch)
     if kind == "generator":
         health.update(latent_dim=desc["latent_dim"],
                       conditional=desc["conditional"])
@@ -207,13 +264,16 @@ def main():
                     img = Image.open(io.BytesIO(body)).convert("RGB")
                     if img.size != (size, size):
                         img = img.resize((size, size), Image.BILINEAR)
-                    u8 = np.asarray(img, np.uint8)[None]
+                    u8 = np.asarray(img, np.uint8)
                 except Exception as e:  # corrupt/unsupported image
                     self._json(400,
                                {"error": f"could not decode image: {e}"})
                     return
-                with lock:
-                    label, prob = desc["infer"](u8)
+                try:
+                    label, prob = batcher.submit(u8)
+                except Exception as e:  # noqa: BLE001 — keep serving
+                    self._json(500, {"error": f"inference failed: {e}"})
+                    return
                 self._json(200, {"label": label, "prob_positive": prob})
                 return
             if self.path == "/generate" and kind == "generator":

@@ -28,13 +28,14 @@ def _tiny_classifier():
     return model, {"params": v["params"], "batch_stats": v["batch_stats"]}
 
 
-def _start(model_path):
+def _start(model_path, *extra):
     import queue
     import threading
 
     proc = subprocess.Popen(
         [sys.executable, "-u", os.path.join(SRC, "serve.py"), "--cpu",
-         "--model-path", model_path, "--port", "0", "--image-size", "32"],
+         "--model-path", model_path, "--port", "0", "--image-size", "32",
+         *extra],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
     # reader thread: a plain readline() would block forever if the server
     # hangs before printing, defeating the deadline below
@@ -130,6 +131,54 @@ def test_serve_generator_artifact(tmp_path):
         with urllib.request.urlopen(req, timeout=60) as r:
             got = np.asarray(Image.open(io.BytesIO(r.read())))
         np.testing.assert_array_equal(got, want)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_serve_predict_concurrent_batching(tmp_path):
+    """Dynamic micro-batching: 12 concurrent /predict requests (distinct
+    images) through a --max-batch 4 server must each get THEIR OWN
+    image's prediction — coalesced rows must not be permuted, padded
+    rows must not leak — matching the live model to 1e-5."""
+    import concurrent.futures
+
+    from PIL import Image
+
+    from xgan.data.pipeline import normalize_images
+    from xgan.io_.export import export_classifier, save_exported
+    from xgan.models.resnet import ResNet50
+
+    model = ResNet50(num_classes=2, stage_sizes=(1, 1, 1, 1))
+    v = model.init(jax.random.key(2), jnp.zeros((1, 32, 32, 3)),
+                   train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    path = str(tmp_path / "clf.stablehlo")
+    save_exported(path, export_classifier(model, v, 32))
+
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (12, 32, 32, 3), np.uint8)
+    logits = model.apply(v, normalize_images(jnp.asarray(imgs)),
+                         train=False)
+    want = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), -1)[:, 1])
+
+    bodies = []
+    for img in imgs:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        bodies.append(buf.getvalue())
+
+    proc, port = _start(path, "--max-batch", "4")
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            assert json.loads(r.read())["max_batch"] == 4
+        with concurrent.futures.ThreadPoolExecutor(12) as pool:
+            results = list(pool.map(
+                lambda b: _post(port, "/predict", b), bodies))
+        for i, (status, out) in enumerate(results):
+            assert status == 200, out
+            assert abs(out["prob_positive"] - float(want[i])) < 1e-5, i
     finally:
         proc.terminate()
         proc.wait(timeout=30)
