@@ -46,10 +46,13 @@ def build_parser():
                    help="checkpoint inputs only; artifacts carry their "
                         "own input signature")
     p.add_argument("--num-classes", type=int, default=2)
-    p.add_argument("--max-batch", type=int, default=8,
+    p.add_argument("--max-batch", type=int, default=0,
                    help="dynamic micro-batching cap for /predict: "
                         "concurrent requests coalesce into one device "
-                        "batch (padded to this size; compiled once)")
+                        "batch (power-of-2 bucket padding, every bucket "
+                        "precompiled). 0 = auto: 8 on TPU (dispatch "
+                        "overhead dominates a b=1 forward), 1 on CPU "
+                        "(compute-bound; batching measured 0.7x there)")
     p.add_argument("--cpu", action="store_true")
     from xgan import config
     config.add_compute_dtype_arg(p)  # checkpoint branch only; artifacts
@@ -60,14 +63,23 @@ class _Batcher:
     """Dynamic micro-batching for /predict: concurrent requests that
     arrive while the device is busy run together in the next dispatch
     (up to ``max_batch``); an idle server dispatches immediately, so
-    batching adds no latency without load. Every dispatch is PADDED to
-    ``max_batch`` rows — one static program shape, compiled once before
-    traffic (classifier rows are independent: eval-mode BN uses running
-    statistics, so padded rows cannot perturb real ones)."""
+    batching adds no latency without load. Each dispatch is PADDED to
+    the next power-of-2 BUCKET (1,2,4,...,max_batch) — a handful of
+    static program shapes, all compiled before traffic, with at most 2x
+    pad waste at partial occupancy (always padding to max_batch measured
+    0.63x on a compute-bound host). Classifier rows are independent
+    (eval-mode BN uses running statistics), so padded rows cannot
+    perturb real ones."""
 
     def __init__(self, infer_batch, max_batch: int):
         self.infer_batch = infer_batch
         self.max_batch = max_batch
+        self.buckets = []
+        b = 1
+        while b < max_batch:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(max_batch)
         self.cond = threading.Condition()
         self.queue = []  # (image (s,s,3) u8, slot dict) pairs
         threading.Thread(target=self._worker, daemon=True).start()
@@ -92,9 +104,10 @@ class _Batcher:
                 del self.queue[:self.max_batch]
             imgs = np.stack([img for img, _ in batch])
             n = imgs.shape[0]
-            if n < self.max_batch:
+            bucket = next(b for b in self.buckets if b >= n)
+            if n < bucket:
                 imgs = np.concatenate(
-                    [imgs, np.repeat(imgs[-1:], self.max_batch - n, 0)])
+                    [imgs, np.repeat(imgs[-1:], bucket - n, 0)])
             try:
                 labels, probs = self.infer_batch(imgs)
                 labels, probs = np.asarray(labels), np.asarray(probs)
@@ -194,10 +207,13 @@ def main():
         # compile before accepting traffic so the first request is fast;
         # inside the envelope: a malformed artifact must fail structured
         if desc["kind"] == "classifier":
+            import jax
             size = desc["image_size"]
-            mb = max(1, args.max_batch)
-            desc["infer_batch"](np.zeros((mb, size, size, 3), np.uint8))
-            batcher = _Batcher(desc["infer_batch"], mb)
+            mb = args.max_batch or (
+                1 if jax.default_backend() == "cpu" else 8)
+            batcher = _Batcher(desc["infer_batch"], max(1, mb))
+            for b in batcher.buckets:  # compile every bucket pre-traffic
+                desc["infer_batch"](np.zeros((b, size, size, 3), np.uint8))
         else:
             img = desc["generate"](0)
             desc["image_size"] = int(img.shape[0])
