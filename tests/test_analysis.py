@@ -136,6 +136,32 @@ def test_eigen_smooth_degenerate_shapes():
     assert out.shape == (4, 4) and np.isfinite(out).all()
 
 
+def test_eigen_smooth_zero_rowsum_map():
+    """Regression: a map whose per-row channel sums cancel exactly (here
+    channel 1 = -channel 0) used to collapse to an all-zero CAM — the
+    old ones-vector power-iteration seed lies exactly in the Gram
+    matrix's null space (x.T @ ones == 0 by the centering), so only
+    fp32 rounding noise ever seeded convergence. The projection must
+    match the numpy SVD reference up to sign (the channel-sum sign
+    convention is vacuous at row_sums == 0)."""
+    from xgan.analysis import eigen_smooth_2d
+
+    rng = np.random.default_rng(3)
+    h, w = 7, 7
+    a = rng.normal(size=(h, w, 1)).astype(np.float32)
+    weighted = np.concatenate([a, -a], axis=-1)  # row sums exactly 0
+
+    x = weighted.reshape(h * w, 2)
+    xc = x - x.mean(axis=0, keepdims=True)
+    _, _, vt = np.linalg.svd(xc, full_matrices=True)
+    proj_np = (xc @ vt[0]).reshape(h, w)
+
+    proj = np.asarray(eigen_smooth_2d(jnp.asarray(weighted)))
+    assert np.linalg.norm(proj) > 0.5 * np.linalg.norm(proj_np)
+    err = min(np.abs(proj - proj_np).max(), np.abs(proj + proj_np).max())
+    assert err < 1e-3 * np.abs(proj_np).max()
+
+
 def test_gradcam_on_trained_checkpoint(tmp_path, fake_dataset, capsys):
     """Grad-CAM panel generation from a real (tiny) checkpoint, plus a
     reference-layout .pth-only checkpoint (torchvision state dict) that

@@ -124,3 +124,26 @@ def test_load_classifier_variables_rejects_imagenet_head(tmp_path):
     like = {"params": params, "batch_stats": stats}
     with pytest.raises(ValueError, match="fc head"):
         load_classifier_variables(path, like)
+
+
+def test_import_rejects_deeper_torchvision_net(tmp_path):
+    """A deeper torchvision state dict (resnet101-style: extra blocks per
+    stage) must be REJECTED, not silently loaded as a frankenmodel built
+    from each stage's first blocks — every key a shallower load reads is
+    present with identical shapes, so only an unexpected-block check can
+    catch it (torch's strict load_state_dict rejects the mirror case via
+    unexpected-keys)."""
+    import pytest
+    import torch
+
+    from xgan.models.pretrained import load_torch_resnet50
+
+    _, params, stats = _init_flax(rng_seed=11, stage_sizes=(1, 1, 1, 1),
+                                  size=32)
+    path = str(tmp_path / "deep.pth")
+    save_torch_resnet50(path, params, stats, stage_sizes=(1, 1, 1, 1))
+    sd = torch.load(path, weights_only=True)
+    sd["layer1.1.conv1.weight"] = torch.zeros((64, 256, 1, 1))  # extra block
+    torch.save(sd, path)
+    with pytest.raises(ValueError, match="unexpected block"):
+        load_torch_resnet50(path, stage_sizes=(1, 1, 1, 1))

@@ -19,6 +19,7 @@ against this framework's artifacts:
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import random
@@ -191,6 +192,8 @@ def generate_summary_report(metrics_dict: Dict[str, Dict],
                     if isinstance(v, float) and isinstance(bv, float) \
                             and bv != 0:
                         line += f" ({(v - bv) / bv * 100:+.1f}% vs Baseline)"
+                    elif isinstance(v, float) and isinstance(bv, float):
+                        line += " (Baseline: 0)"  # analyze_results.py:314
                 lines.append(line)
         lines.append("")
     else:
@@ -216,6 +219,8 @@ def generate_summary_report(metrics_dict: Dict[str, Dict],
                             and bv != 0:
                         line += (f" ({(av - bv) * 100:+.1f} percentage "
                                  "points vs Baseline Avg)")
+                    elif isinstance(av, float) and isinstance(bv, float):
+                        line += " (Baseline Avg: 0)"  # :341
                 lines.append(line)
         lines.append("")
     else:
@@ -260,15 +265,15 @@ def calculate_ssim_distribution(data_dir: str, synthetic_dir: str,
     if not meta.exists():
         print(f"Error: real metadata not found at {meta}")
         return None
+    from xgan.data.rsna import POSITIVE_CLASS, train_paths
     df = pd.read_csv(meta)
-    df["label"] = (df["class"] == "Lung Opacity").astype(int)
+    df["label"] = (df["class"] == POSITIVE_CLASS).astype(int)
     pos = df[df["label"] == 1]
     if pos.empty:
         print("Error: no positive real images found in metadata.")
         return None
     pos = pos.sample(n=min(num_real_samples, len(pos)), random_state=seed)
-    real_paths = [str(Path(data_dir) / "Training" / "Images"
-                      / f"{pid}.png") for pid in pos["patientId"]]
+    real_paths = train_paths(data_dir, list(pos["patientId"]))
     synth_files = sorted(Path(synthetic_dir).glob("*.png"))
     if not synth_files:
         print(f"Error: no synthetic images found in {synthetic_dir}")
@@ -330,7 +335,16 @@ def eigen_smooth_2d(weighted_hwc, n_iter: int = 64):
     row_sums = jnp.sum(x, axis=1)            # plain Grad-CAM map (flat)
     x = x - jnp.mean(x, axis=0, keepdims=True)
     gram = x @ x.T                           # (HW, HW), HW = 49 at 224px
-    u0 = jnp.ones((h * w,), jnp.float32) / np.sqrt(h * w)
+    # Seed INSIDE the column space: a constant vector is exactly in
+    # gram's null space (x.T @ ones == 0 by the centering), so the old
+    # ones-seed converged only via fp32 rounding noise and collapsed to
+    # an all-zero map when the cancellation was exact. The centered row
+    # sums (x @ 1_c) are generically aligned with PC1; the non-constant
+    # cosine term keeps the seed alive when they vanish too.
+    seed = x @ jnp.ones((c,), jnp.float32)
+    wave = jnp.cos(jnp.arange(h * w, dtype=jnp.float32))
+    u0 = (seed / (jnp.linalg.norm(seed) + 1e-12)
+          + 0.01 * wave / (jnp.linalg.norm(wave) + 1e-12))
 
     def body(_, u):
         v = gram @ u
@@ -354,21 +368,40 @@ def grad_cam_resnet(model, variables, image_normed: np.ndarray, *,
     principal component of the weighted activation map; False gives the
     plain analytic CAM.
     """
-    import jax.numpy as jnp
-    logits, feats = model.apply(variables, image_normed[None],
-                                train=False, return_features=True)
-    pred = int(jnp.argmax(logits[0]))
-    fc_w = variables["params"]["fc"]["kernel"]       # (2048, num_classes)
-    weighted = (feats[0].astype(jnp.float32)
-                * fc_w[:, pred].astype(jnp.float32))  # (H', W', C)
-    if eigen_smooth:
-        cam = eigen_smooth_2d(weighted)
-    else:
-        cam = jnp.sum(weighted, axis=-1)
-    cam = np.asarray(jnp.maximum(cam, 0.0))
+    pred, cam = _cam_program(model, eigen_smooth)(variables, image_normed)
+    pred, cam = int(pred), np.asarray(cam)
     if cam.max() > 0:
         cam = cam / cam.max()
     return pred, cam
+
+
+@functools.lru_cache(maxsize=8)
+def _cam_program(model, eigen_smooth: bool):
+    """One jitted (variables, image) -> (pred, relu'd CAM) program per
+    (model, mode): the eager form dispatched every ResNet op per call —
+    3 models x 9 samples of per-op remote dispatches dominated analysis
+    runtime on the tunneled backend (same pitfall CLAUDE.md records for
+    eager Exported.call). flax Modules are frozen dataclasses, hence
+    hashable cache keys."""
+    import jax
+    import jax.numpy as jnp
+
+    def fwd(variables, image_normed):
+        logits, feats = model.apply(variables, image_normed[None],
+                                    train=False, return_features=True)
+        pred = jnp.argmax(logits[0])
+        fc_w = variables["params"]["fc"]["kernel"]   # (2048, num_classes)
+        # jnp.take, not fc_w[:, pred]: checkpoint-restored params can be
+        # numpy leaves, and numpy indexing by a tracer raises
+        weighted = (feats[0].astype(jnp.float32)
+                    * jnp.take(fc_w, pred, axis=1)
+                         .astype(jnp.float32))       # (H', W', C)
+        if eigen_smooth:
+            cam = eigen_smooth_2d(weighted)
+        else:
+            cam = jnp.sum(weighted, axis=-1)
+        return pred, jnp.maximum(cam, 0.0)
+    return jax.jit(fwd)
 
 
 def generate_grad_cam_comparison(model_dir: str, data_dir: str,
@@ -427,8 +460,9 @@ def generate_grad_cam_comparison(model_dir: str, data_dir: str,
     meta = Path(data_dir) / "stage2_train_metadata.csv"
     if not meta.exists():
         return
+    from xgan.data.rsna import POSITIVE_CLASS, train_paths
     df = pd.read_csv(meta)
-    df["label"] = (df["class"] == "Lung Opacity").astype(int)
+    df["label"] = (df["class"] == POSITIVE_CLASS).astype(int)
     n = num_samples
     samples = []
     pos = df[df["label"] == 1]
@@ -450,7 +484,7 @@ def generate_grad_cam_comparison(model_dir: str, data_dir: str,
         pid, label, stype = sample["patientId"], sample["label"], \
             sample["type"]
         img_path = (sample["path"] if stype == "synthetic" else
-                    Path(data_dir) / "Training" / "Images" / f"{pid}.png")
+                    train_paths(data_dir, [pid])[0])
         try:
             rgb = Image.open(img_path).convert("RGB").resize(
                 (image_size, image_size), Image.BILINEAR)

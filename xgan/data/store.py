@@ -91,9 +91,17 @@ class ImageStore:
         images = _decode_all(paths, size)
 
         if cache_dir:
-            np.save(npy, images)
-            with open(meta, "w") as f:
+            # temp-file + atomic rename: concurrent processes (every
+            # multi-host process builds the same cache) must never see a
+            # half-written .npy — a plain np.save(final_path) truncates
+            # the file another process may be mmap-loading (SIGBUS)
+            tmp = f"{npy[:-4]}.tmp{os.getpid()}.npy"  # np.save appends
+            np.save(tmp, images)                      # .npy otherwise
+            os.replace(tmp, npy)
+            tmp_meta = f"{meta}.tmp.{os.getpid()}"
+            with open(tmp_meta, "w") as f:
                 json.dump({"n": len(paths), "size": size}, f)
+            os.replace(tmp_meta, meta)
             images = np.load(npy, mmap_mode="r")
         return ImageStore(images=images, labels=labels, size=size)
 

@@ -96,6 +96,8 @@ def save_image_grid(images_u8: np.ndarray, path: str, nrow: int = 8,
     from PIL import Image
     import os
     b, s, _, c = images_u8.shape
+    if b == 0:
+        raise ValueError("save_image_grid: empty image batch")
     ncol = min(b, nrow)
     nrows = (b + ncol - 1) // ncol
     canvas = np.full((nrows * (s + pad) + pad, ncol * (s + pad) + pad, c),

@@ -47,6 +47,19 @@ def load_torch_resnet50(path: str, num_classes: int = 2,
     loaded too.
     """
     sd = _load_state_dict(path)
+    # Reject DEEPER torchvision nets up front: a resnet101/152 state dict
+    # contains every key a resnet50 load reads (identical channel shapes
+    # in each stage's first blocks), so without this check it would load
+    # "successfully" as a frankenmodel with the extra blocks ignored —
+    # garbage predictions with no error (torch's strict load_state_dict
+    # rejects via unexpected-keys; we mirror that).
+    for stage, blocks in enumerate(stage_sizes, start=1):
+        extra = f"layer{stage}.{blocks}.conv1.weight"
+        if extra in sd:
+            raise ValueError(
+                f"state dict has unexpected block {extra!r}: not a "
+                f"torchvision resnet with stages {tuple(stage_sizes)} "
+                "(deeper variant, e.g. resnet101/152?)")
     params, stats = {}, {}
 
     bn_p, bn_s = _bn(sd, "bn1")
