@@ -126,3 +126,43 @@ def test_one_epoch_run_still_emits_trace(fake_dataset, tmp_path):
     train_dcgan(args)
     captured = list(trace_dir.rglob("*.xplane.pb"))
     assert captured, f"no xplane capture under {trace_dir}"
+
+
+def test_crash_resume_preserves_history(fake_dataset, tmp_path,
+                                        monkeypatch):
+    """History JSON persists WITH each snapshot, not only at run end: a
+    crash mid-epoch-2 must leave epoch 1's history on disk so the
+    resumed run's merged history covers every epoch (previously the
+    crashed run's epochs silently vanished from the final file and the
+    iter arrays misaligned with epochs x num_batches)."""
+    import contextlib
+
+    import xgan.train.gan_loop as gl
+
+    args = _gan_args(fake_dataset, tmp_path, epochs=2,
+                     checkpoint_interval=1)
+
+    real_trace = gl.maybe_trace
+    calls = {"n": 0}
+
+    def crashing_trace(dirname):
+        calls["n"] += 1
+        if calls["n"] == 2:  # epoch 2 begins AFTER epoch 1's snapshot
+            raise RuntimeError("simulated crash")
+        return real_trace(dirname)
+
+    monkeypatch.setattr(gl, "maybe_trace", crashing_trace)
+    with contextlib.suppress(RuntimeError):
+        gl.train_dcgan(args)
+    hist_path = tmp_path / "results/metrics/gan_training_history.json"
+    assert hist_path.exists(), "history lost in the crash window"
+    partial = json.loads(hist_path.read_text())
+    assert len(partial["G_losses_epoch"]) == 1
+    assert len(partial["G_losses_iter"]) == 2  # 1 epoch x 2 batches
+
+    monkeypatch.setattr(gl, "maybe_trace", real_trace)
+    args = _gan_args(fake_dataset, tmp_path, epochs=2,
+                     checkpoint_interval=1, resume_from="auto")
+    history = gl.train_dcgan(args)
+    assert len(history["G_losses_epoch"]) == 2
+    assert len(history["G_losses_iter"]) == 4

@@ -80,3 +80,37 @@ def test_perceptual_loss_all_zero_mask_is_zero_not_nan():
         lambda p, v: model.apply({"params": p}, v), params, x, y,
         weights=jnp.zeros((2,), jnp.float32))
     assert float(loss) == 0.0
+
+
+def test_vgg_import_rejects_wrong_checkpoints(tmp_path):
+    """Content validation: a deeper VGG (vgg19-style extra conv at
+    features.16) must be rejected instead of loading its first blocks as
+    a silent frankenmodel; missing keys (vgg11/13/bn layouts) and wrong
+    shapes get structured errors, not raw KeyErrors."""
+    from xgan.models.pretrained import validate_torch_vgg16
+
+    feats = build_torch_vgg_features()
+    sd = {f"features.{k}": v for k, v in feats.state_dict().items()}
+
+    deep = dict(sd)
+    deep["features.16.weight"] = torch.zeros((256, 256, 3, 3))
+    deep["features.16.bias"] = torch.zeros((256,))
+    p = str(tmp_path / "vgg19ish.pth")
+    torch.save(deep, p)
+    with pytest.raises(ValueError, match="deeper VGG"):
+        validate_torch_vgg16(p)
+    with pytest.raises(ValueError, match="deeper VGG"):
+        load_torch_vgg16(p)
+
+    shallow = {k: v for k, v in sd.items() if "features.14" not in k}
+    p = str(tmp_path / "vgg13ish.pth")
+    torch.save(shallow, p)
+    with pytest.raises(ValueError, match="not a torchvision vgg16"):
+        validate_torch_vgg16(p)
+
+    wrong = dict(sd)
+    wrong["features.0.weight"] = torch.zeros((32, 3, 3, 3))
+    p = str(tmp_path / "wrongshape.pth")
+    torch.save(wrong, p)
+    with pytest.raises(ValueError, match="expected"):
+        validate_torch_vgg16(p)

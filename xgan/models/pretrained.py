@@ -320,9 +320,46 @@ _VGG_LAYERS = [("conv1_1", 0), ("conv1_2", 2), ("conv2_1", 5), ("conv2_2", 7),
                ("conv3_1", 10), ("conv3_2", 12), ("conv3_3", 14)]
 
 
+_VGG_OUT_CHANNELS = [64, 64, 128, 128, 256, 256, 256]
+
+
+def _validate_vgg16_sd(sd):
+    """The three failure classes a plain index walk misses or reports
+    badly: missing keys (vgg11/13/vgg16_bn layouts -> raw KeyError),
+    wrong per-layer shapes, and vgg19 — whose state dict contains every
+    key vgg16's first three blocks read at identical indices/shapes and
+    would load as a silent frankenmodel (its block 3 has a 4th conv at
+    features.16; vgg16 has a pool there, no weight)."""
+    missing = [f"features.{idx}.weight" for _, idx in _VGG_LAYERS
+               if f"features.{idx}.weight" not in sd]
+    if missing:
+        raise ValueError(
+            f"missing {missing[:3]}...: not a torchvision vgg16 "
+            "features state dict (vgg16_bn / other depths have "
+            "different layer indices)")
+    if "features.16.weight" in sd:
+        raise ValueError(
+            "state dict has an extra conv at features.16: a deeper VGG "
+            "(vgg19?) — its first blocks would load as a silent "
+            "frankenmodel, refusing instead")
+    for (name, idx), out_ch in zip(_VGG_LAYERS, _VGG_OUT_CHANNELS):
+        got = tuple(sd[f"features.{idx}.weight"].shape)
+        if got[0] != out_ch or got[-2:] != (3, 3):
+            raise ValueError(
+                f"features.{idx}.weight has shape {got}, expected "
+                f"({out_ch}, C, 3, 3) for vgg16 {name}")
+
+
+def validate_torch_vgg16(path: str) -> None:
+    """Cheap fail-fast content check (keys + shapes, no conversion) so
+    CLIs can reject a wrong --vgg-path before the dataset decode."""
+    _validate_vgg16_sd(_load_state_dict(path))
+
+
 def load_torch_vgg16(path: str):
     """Returns a params pytree for xgan.models.vgg.VGG16Features."""
     sd = _load_state_dict(path)
+    _validate_vgg16_sd(sd)
     params = {}
     for name, idx in _VGG_LAYERS:
         params[f"{name}_kernel"] = _conv(sd, f"features.{idx}.weight")

@@ -30,7 +30,6 @@ from xgan.train.common import ModelState, apply_updates, weighted_mean
 
 PERCEPTUAL_WEIGHT = 10.0
 FM_WEIGHT = 5.0
-NUM_CLASSES = 2
 
 
 def _bce_per_target(logits, targets, weights=None):
@@ -75,7 +74,10 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
         fake_targets = 0.1 + 0.1 * jax.random.uniform(k_fs, (b,))
 
         noise = jax.random.normal(k_noise, (b, latent_dim), jnp.float32)
-        fake_labels = jax.random.randint(k_lab, (b,), 0, NUM_CLASSES)
+        # the models' own class count — a second constant here would
+        # silently desync from the embedding tables if either changed
+        fake_labels = jax.random.randint(k_lab, (b,), 0,
+                                         g_model.num_classes)
 
         def g_forward(g_params):
             fake, upd = g_model.apply(

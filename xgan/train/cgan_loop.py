@@ -69,6 +69,17 @@ def train_cgan(args):
     if vgg_path and not os.path.exists(vgg_path):
         print(f"Error: VGG16 checkpoint {vgg_path} not found.")
         return None
+    if vgg_path:
+        # content check too (keys/shapes/not-vgg19), not just existence —
+        # a wrong .pth otherwise dies with a raw KeyError only AFTER the
+        # minutes-long dataset decode, or loads as a silent frankenmodel
+        from xgan.models.pretrained import validate_torch_vgg16
+        try:
+            validate_torch_vgg16(vgg_path)
+        except Exception as e:  # noqa: BLE001 — structured CLI contract
+            print(f"Error: --vgg-path {vgg_path} is not a vgg16 "
+                  f"checkpoint: {e}")
+            return None
 
     if not resume_preflight(args):
         return None
@@ -241,6 +252,8 @@ def train_cgan(args):
                 f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
                 d_state.variables())
             snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
+            # history persists with the snapshot (see gan_loop.py)
+            write_json(history_path, history)
             print(f"Saved checkpoints for epoch {epoch + 1} to {model_dir}")
 
     print(f"Training finished in {time.time() - start:.2f} seconds.")

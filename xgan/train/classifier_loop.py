@@ -389,6 +389,14 @@ def train_classifier(args):
         # Not silently a no-op: fold-level resume exists only under CV.
         print("Note: --resume-from auto has no effect on single (non-CV) "
               "classifier runs; training from scratch.")
+    if resume == "auto" and is_cv and getattr(args, "parallel_folds",
+                                              False):
+        # Same convention: fold-level resume skips COMPLETED folds, which
+        # only exists on the sequential path (parallel folds train in
+        # lockstep — there is no per-fold completion to resume from).
+        print("Note: --resume-from auto has no effect with "
+              "--parallel-folds (folds train in lockstep); "
+              "training all folds from scratch.")
 
     # --- Data ---
     try:

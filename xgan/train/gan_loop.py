@@ -160,9 +160,10 @@ def train_dcgan(args):
         # Optional XLA profiler capture (first post-compile epoch, or the
         # only epoch on 1-epoch runs); the with-block finalizes the trace
         # even if a dispatch raises mid-epoch.
+        trace_dir = getattr(args, "trace_dir", "")  # match the other loops
         with maybe_trace(
-                args.trace_dir
-                if (args.trace_dir
+                trace_dir
+                if (trace_dir
                     and epoch == trace_epoch(start_epoch, args.epochs))
                 else None), \
                 EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
@@ -225,6 +226,10 @@ def train_dcgan(args):
                 f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
                 d_state.variables())
             snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
+            # history persists WITH the snapshot: a crash between here
+            # and run end must not lose these epochs from the merged
+            # history a resumed run writes (resume_history contract)
+            write_json(history_path, history)
             print(f"Saved checkpoints for epoch {epoch + 1} "
                   f"to {gan_model_dir}")
 

@@ -26,7 +26,11 @@ class SnapshotManager:
         payload = {name: jax.device_get(st) for name, st in states.items()}
         payload["epoch"] = epoch
         payload["iters"] = iters
-        save_variables(self.path, payload)
+        # tmp + atomic rename: a crash mid-write (OOM kill at an epoch
+        # boundary) must not destroy the one snapshot resume depends on
+        tmp = f"{self.path}.tmp{os.getpid()}"
+        save_variables(tmp, payload)
+        os.replace(tmp, self.path)
 
     def try_resume(self, resume_from: str,
                    states: Dict[str, ModelState]

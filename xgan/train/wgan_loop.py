@@ -187,6 +187,8 @@ def train_wgan(args):
                 model_dir, f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
                 c_state.variables())
             snap_mgr.save({"g": g_state, "c": c_state}, epoch + 1, iters)
+            # history persists with the snapshot (see gan_loop.py)
+            write_json(history_path, history)
 
     save_variables(os.path.join(model_dir, "generator_final.msgpack"),
                    g_state.variables())
