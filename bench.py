@@ -175,13 +175,20 @@ def main():
         return slopes[len(slopes) // 2]
 
     try:
-        dt = measure(k_steps)
-    except Exception as e:  # driver artifact must never be empty
-        print(f"note: steps_per_call={k_steps} bench failed "
-              f"({type(e).__name__}: {e}); falling back to single-step",
-              file=sys.stderr)
-        dt = measure(1)
-    imgs_per_sec = batch / dt
+        try:
+            dt = measure(k_steps)
+        except Exception as e:  # driver artifact must never be empty
+            print(f"note: steps_per_call={k_steps} bench failed "
+                  f"({type(e).__name__}: {e}); falling back to "
+                  "single-step", file=sys.stderr)
+            dt = measure(1)
+        imgs_per_sec = batch / dt
+    except Exception as e:  # even the K=1 path can die (tunnel drop
+        # post-probe, host OOM): the ONE-JSON-line invariant still holds,
+        # with an honest 0 instead of a traceback and no artifact
+        print(f"note: bench failed entirely ({type(e).__name__}: {e}); "
+              "reporting 0", file=sys.stderr)
+        imgs_per_sec = 0.0
 
     baseline = FALLBACK_BASELINE_IMGS_PER_SEC
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

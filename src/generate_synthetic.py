@@ -42,8 +42,8 @@ def main():
                                    make_artifact_sampler)
 
     if args.model_path.endswith(".stablehlo"):
-        art, latent = load_generator_artifact(args.model_path,
-                                              conditional=False)
+        art, latent, _meta = load_generator_artifact(args.model_path,
+                                                     conditional=False)
         generate_images(None, {}, output_dir=args.output_dir,
                         num_images=args.num_images, latent_dim=latent,
                         batch_size=args.batch_size, seed=args.seed,

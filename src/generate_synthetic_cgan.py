@@ -47,14 +47,18 @@ def main():
                                    make_artifact_sampler)
 
     if args.model_path.endswith(".stablehlo"):
-        art, latent = load_generator_artifact(args.model_path,
-                                              conditional=True)
+        art, latent, meta = load_generator_artifact(args.model_path,
+                                                    conditional=True)
+        # class count from the artifact envelope (export_model bakes it);
+        # a fixed 2 would silently never sample classes >= 2 of a wider
+        # conditional generator (in-range labels — no error to catch it)
         generate_images(None, {}, output_dir=args.output_dir,
                         num_images=args.num_images, latent_dim=latent,
                         batch_size=args.batch_size, seed=args.seed,
                         conditional=True,
                         sample_override=make_artifact_sampler(
-                            art, latent, conditional=True, num_classes=2))
+                            art, latent, conditional=True,
+                            num_classes=meta.get("num_classes", 2)))
         return
     model = cgan.Generator(latent_dim=args.latent_dim,
                            feature_maps=args.feature_maps_g,

@@ -84,12 +84,21 @@ class _Batcher:
         self.queue = []  # (image (s,s,3) u8, slot dict) pairs
         threading.Thread(target=self._worker, daemon=True).start()
 
-    def submit(self, img):
+    def submit(self, img, timeout: float = 300.0):
         slot = {"event": threading.Event()}
+        item = (img, slot)
         with self.cond:
-            self.queue.append((img, slot))
+            self.queue.append(item)
             self.cond.notify()
-        slot["event"].wait()
+        # bounded wait: this environment's TPU tunnel can HANG a device
+        # call (CLAUDE.md); without a timeout every later request would
+        # park another handler thread forever while /healthz stays ok
+        if not slot["event"].wait(timeout):
+            with self.cond:  # drop it if still queued (identity, not ==:
+                # ndarray __eq__ breaks `in`); if in flight, just bail
+                self.queue = [it for it in self.queue if it is not item]
+            raise TimeoutError(f"inference did not complete in "
+                               f"{timeout:.0f}s")
         if "error" in slot:
             raise slot["error"]
         return slot["label"], slot["prob"]
@@ -287,6 +296,9 @@ def main():
                     return
                 try:
                     label, prob = batcher.submit(u8)
+                except TimeoutError as e:  # before OSError: subclass
+                    self._json(503, {"error": str(e)})
+                    return
                 except Exception as e:  # noqa: BLE001 — keep serving
                     self._json(500, {"error": f"inference failed: {e}"})
                     return
@@ -315,10 +327,18 @@ def main():
                 except (ValueError, TypeError, json.JSONDecodeError) as e:
                     self._json(400, {"error": f"bad request body: {e}"})
                     return
-                with lock:
-                    img = desc["generate"](seed, label)
-                buf = io.BytesIO()
-                Image.fromarray(img).save(buf, format="PNG")
+                try:  # same keep-serving envelope as /predict: a device
+                    # runtime failure must be a structured 500, not a
+                    # dropped connection + per-request traceback
+                    with lock:
+                        img = desc["generate"](seed, label)
+                    buf = io.BytesIO()
+                    Image.fromarray(img).save(buf, format="PNG")
+                except Exception as e:  # noqa: BLE001 (no socket ops
+                    # in this block, so nothing here shadows the outer
+                    # OSError disconnect barrier)
+                    self._json(500, {"error": f"generation failed: {e}"})
+                    return
                 png = buf.getvalue()
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")

@@ -263,7 +263,11 @@ def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
     dt = timeit(run, 0, iters=10)
     out = {"device_compute_imgs_per_sec": batch / dt}
 
-    # warm-up covers the jit compile so the timed run is steady-state
+    # warm-up covers the jit compile so the timed run is steady-state;
+    # the timed run uses a DIFFERENT seed — its step 0 would otherwise
+    # byte-identically replay the warm-up dispatch, which the runtime
+    # can dedup-serve (CLAUDE.md benchmarking pitfalls), gifting ~1/8
+    # of the batches for free
     generate_images(model, variables, output_dir=out_dir,
                     num_images=batch, latent_dim=100, batch_size=batch,
                     seed=0)
@@ -271,7 +275,7 @@ def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
     stats = {}
     t0 = time.time()
     generate_images(model, variables, output_dir=out_dir, num_images=n,
-                    latent_dim=100, batch_size=batch, seed=0, stats=stats)
+                    latent_dim=100, batch_size=batch, seed=1, stats=stats)
     dt = time.time() - t0
     out.update({"num_images": n, "end_to_end_imgs_per_sec": n / dt,
                 "device_plus_transfer_imgs_per_sec":

@@ -28,29 +28,41 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def start_server(model_path, image_size, max_batch, cpu):
+    import tempfile
     cmd = [sys.executable, "-u", os.path.join(REPO, "src", "serve.py"),
            "--model-path", model_path, "--port", "0",
            "--image-size", str(image_size), "--max-batch", str(max_batch)]
     if cpu:
         cmd.append("--cpu")
-    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True)
+    # stderr to a FILE, not a pipe: on the TPU backend startup compiles
+    # 4 bucket programs while jax/libtpu spam stderr — an undrained pipe
+    # fills at ~64KB and blocks the child before it prints "Serving"
+    errf = tempfile.NamedTemporaryFile("w+", suffix=".serve.err",
+                                       delete=False)
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=errf,
+                            text=True)
     q = queue.Queue()
     threading.Thread(target=lambda: [q.put(ln) for ln in proc.stdout],
                      daemon=True).start()
+
+    def err_tail():
+        errf.flush()
+        with open(errf.name) as f:
+            return f.read()[-2000:]
+
     deadline = time.time() + 600
     while time.time() < deadline:
         try:
             line = q.get(timeout=5)
         except queue.Empty:
             if proc.poll() is not None:
-                raise RuntimeError(
-                    f"server died: {proc.stderr.read()[-2000:]}")
+                raise RuntimeError(f"server died: {err_tail()}")
             continue
         if "Serving" in line:
             return proc, int(line.rsplit(":", 1)[-1].strip())
     proc.kill()
-    raise RuntimeError("server did not come up in 600s")
+    raise RuntimeError(f"server did not come up in 600s; stderr tail: "
+                       f"{err_tail()}")
 
 
 def hammer(port, bodies, clients, seconds):

@@ -72,13 +72,14 @@ def load_generator(model, path: str, example_args, example_kwargs=None,
 
 def load_generator_artifact(path: str, *, conditional: bool):
     """Load a ``.stablehlo`` generator artifact (src/export_model.py) for
-    sampling; returns ``(exported, latent_dim)``. Structured-error exit
-    when the artifact is not a generator of the expected conditionality —
-    each sampler CLI accepts only its own family's artifacts, mirroring
-    the checkpoint shape checks."""
+    sampling; returns ``(exported, latent_dim, meta)`` with ``meta`` the
+    self-description envelope (``{}`` for pre-envelope artifacts).
+    Structured-error exit when the artifact is not a generator of the
+    expected conditionality — each sampler CLI accepts only its own
+    family's artifacts, mirroring the checkpoint shape checks."""
     from xgan.io_.export import load_exported_with_meta
     try:
-        art, _meta = load_exported_with_meta(path)
+        art, meta = load_exported_with_meta(path)
         avals = art.in_avals
         ok = (len(avals) in (1, 2) and len(avals[0].shape) == 2
               and str(avals[0].dtype) == "float32")
@@ -97,7 +98,7 @@ def load_generator_artifact(path: str, *, conditional: bool):
     except Exception as e:  # noqa: BLE001 — structured CLI error contract
         print(f"Error loading generator artifact: {e}")
         sys.exit(1)
-    return art, int(avals[0].shape[1])
+    return art, int(avals[0].shape[1]), meta or {}
 
 
 def make_artifact_sampler(art, latent_dim: int, *, conditional: bool,
