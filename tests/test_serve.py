@@ -279,3 +279,63 @@ def test_serve_predict_parity(tmp_path, fmt):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_batcher_timeout_and_error_paths():
+    """_Batcher unit contracts: a hung device call times out the waiter
+    (and the abandoned request leaves the queue) instead of parking
+    handler threads forever; a raising inference wakes every waiter with
+    the error instead of wedging the worker."""
+    import importlib.util
+    import threading
+    import time as _time
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_mod", os.path.join(SRC, "serve.py"))
+    serve_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_mod)
+
+    gate = threading.Event()
+
+    def hanging_infer(imgs):
+        gate.wait(30)  # simulates the tunnel hang, bounded for the test
+        return np.zeros(imgs.shape[0], np.int32), \
+            np.zeros(imgs.shape[0], np.float32)
+
+    b = serve_mod._Batcher(hanging_infer, max_batch=4)
+    img = np.zeros((8, 8, 3), np.uint8)
+    t0 = _time.time()
+    with pytest.raises(TimeoutError):
+        b.submit(img, timeout=0.5)
+    assert _time.time() - t0 < 5
+    # a second queued-then-abandoned request must not linger
+    threading.Thread(target=lambda: b.submit(img, timeout=0.2),
+                     daemon=True).start()
+    _time.sleep(0.6)
+    with b.cond:
+        assert not b.queue
+    gate.set()  # release the worker
+
+    def raising_infer(imgs):
+        raise RuntimeError("device fell over")
+
+    b2 = serve_mod._Batcher(raising_infer, max_batch=4)
+    results = []
+
+    def client():
+        try:
+            b2.submit(img, timeout=10)
+        except RuntimeError as e:
+            results.append(str(e))
+
+    threads = [threading.Thread(target=client) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=15)
+    assert results == ["device fell over"] * 3
+    # the worker survives the exception and serves the next request
+    b2.infer_batch = lambda imgs: (np.ones(imgs.shape[0], np.int32),
+                                   np.full(imgs.shape[0], 0.5, np.float32))
+    label, prob = b2.submit(img, timeout=10)
+    assert (label, prob) == (1, 0.5)
