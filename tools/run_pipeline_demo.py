@@ -13,6 +13,9 @@ Chain (the reference's documented workflow, README.md of the reference):
      checkpoint                               (src/predict.py)
   7. export the trained generator as a portable StableHLO serving
      artifact (reload + numeric self-check)   (src/export_model.py)
+  8. serve the artifact over HTTP and round-trip /healthz + /generate
+     (plus sampling the artifact directly)    (src/serve.py,
+                                               src/generate_synthetic.py)
 
 Usage: python tools/run_pipeline_demo.py [--workdir DIR] [--image-size 32]
        [--tpu]   (default runs on CPU; --tpu uses the default backend)
@@ -122,15 +125,70 @@ def main():
     else:
         print(f"Note: {ckpt} was not written (no val-accuracy "
               "improvement); skipping the predict.py step.")
+    art = f"{w}/models/gan/generator.stablehlo"
     run("export_model.py", *dev, "--kind", "gan",
         "--model-path", f"{w}/models/gan/generator_final.msgpack",
-        "--output", f"{w}/models/gan/generator.stablehlo",
+        "--output", art,
         "--latent-dim", "16", "--feature-maps-g", "8",
         "--image-size", str(args.image_size))
+    # the artifact is a first-class model format: sample from it directly
+    run("generate_synthetic.py", *dev, "--model-path", art,
+        "--output-dir", f"{w}/data/synthetic_from_artifact",
+        "--num-images", "8", "--batch-size", "8")
+    serve_roundtrip(art, dev)
 
     print(f"\nDemo complete. Artifacts under {w}/results "
           f"(metrics/, figures/, analysis/, predictions.json) and "
-          f"{w}/models/gan/generator.stablehlo.")
+          f"{w}/models/gan/generator.stablehlo (served + sampled).")
+
+
+def serve_roundtrip(model_path, dev):
+    """Start src/serve.py on the artifact, hit /healthz and /generate
+    through real HTTP, and shut it down."""
+    import json
+    import queue
+    import threading
+    import urllib.request
+
+    cmd = [sys.executable, "-u", os.path.join(ROOT, "src", "serve.py"),
+           "--model-path", model_path, "--port", "0", *dev]
+    print("\n$ " + " ".join(cmd) + "   (serving round-trip)")
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, text=True)
+    q = queue.Queue()
+    threading.Thread(target=lambda: [q.put(ln) for ln in proc.stdout],
+                     daemon=True).start()
+    try:
+        import time
+        deadline = time.time() + 600
+        port = None
+        while time.time() < deadline:
+            try:
+                line = q.get(timeout=5)
+            except queue.Empty:
+                if proc.poll() is not None:
+                    raise RuntimeError("serve.py died during startup")
+                continue
+            if "Serving" in line:
+                port = int(line.rsplit(":", 1)[-1].strip())
+                break
+        if port is None:
+            raise RuntimeError("serve.py did not come up in 600s")
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=120) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["kind"] == "generator", health
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"seed": 7}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            png = r.read()
+        assert png[:4] == b"\x89PNG", "not a PNG response"
+        print(f"serve.py round-trip OK: healthz {health}, "
+              f"/generate returned a {len(png)}-byte PNG")
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
 
 
 if __name__ == "__main__":
