@@ -266,3 +266,105 @@ def test_epoch_progress_clears_line_on_exception(monkeypatch, capsys):
     with EpochProgress("Epoch 1/2", 5) as progress:
         progress.update(5)
     assert quiet.getvalue() == ""
+
+
+def test_epoch_progress_live_postfix(monkeypatch):
+    """EpochProgress live-loss postfix (reference tqdm postfix parity,
+    train_gan.py:162-163) must be opportunistic: it renders metrics that
+    are already materialized (is_ready) and NEVER touches values still in
+    flight, so no update can block on the device."""
+    import io
+    import sys as _sys
+    import time as _time
+
+    from xgan.train.loop_common import EpochProgress, gan_live_postfix
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    class NeverReady:
+        def is_ready(self):
+            return False
+
+        def __array__(self, *a, **k):  # pragma: no cover - must not run
+            raise AssertionError("fetched an in-flight result")
+
+    out = Tty()
+    monkeypatch.setattr(_sys, "stdout", out)
+    with EpochProgress("Epoch 1/1", 10,
+                       postfix_fn=gan_live_postfix) as progress:
+        # in-flight metrics: progress line renders WITHOUT a postfix
+        progress.update(1, NeverReady())
+        assert "Loss_D" not in out.getvalue()
+        # ready metrics (CPU jnp arrays are ready once computed):
+        # single-step (5,) layout
+        progress._last_write = 0.0  # bypass the 10 Hz redraw throttle
+        progress.update(2, jnp.asarray([1.5, 0.25, 0.9, 0.1, 0.2]))
+        assert "Loss_D: 0.2500" in out.getvalue()
+        assert "Loss_G: 1.5000" in out.getvalue()
+        assert "D(x): 0.9000" in out.getvalue()
+        # chunked (K, 5) layout: the LAST step's row is shown
+        progress._last_write = 0.0
+        progress.update(4, jnp.asarray([[1.0, 2.0, 3.0, 0.0, 0.0],
+                                        [4.0, 0.125, 0.5, 0.0, 0.0]]))
+        assert "Loss_D: 0.1250" in out.getvalue()
+
+
+def test_epoch_progress_postfix_error_isolated(monkeypatch):
+    """A formatter surprise (unexpected metric layout) must disable the
+    postfix, not kill the epoch loop — the display is cosmetic."""
+    import io
+    import sys as _sys
+
+    from xgan.train.loop_common import EpochProgress
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    def bad_postfix(m):
+        raise ValueError("layout surprise")
+
+    out = Tty()
+    monkeypatch.setattr(_sys, "stdout", out)
+    with EpochProgress("Epoch 1/1", 4, postfix_fn=bad_postfix) as progress:
+        progress.update(1, jnp.asarray([1.0]))  # raises inside -> disabled
+        assert progress.postfix_fn is None
+        progress._last_write = 0.0
+        progress.update(2, jnp.asarray([1.0]))  # no further attempts
+    assert "Epoch 1/1: 2/4" in out.getvalue()
+
+
+def test_epoch_progress_redraw_throttle(monkeypatch):
+    """Redraws are throttled to ~10 Hz so a dispatch-bound 64px loop
+    (tens of kHz enqueue rate) isn't slowed by terminal IO; the final
+    update always renders."""
+    import io
+    import sys as _sys
+
+    from xgan.train.loop_common import EpochProgress
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    out = Tty()
+    monkeypatch.setattr(_sys, "stdout", out)
+    with EpochProgress("Epoch 1/1", 10) as progress:
+        progress.update(1)          # first write always lands
+        progress.update(2)          # within 100 ms and i < total: skipped
+        progress.update(10)         # final update: always rendered
+    text = out.getvalue()
+    assert "1/10" in text
+    assert "2/10" not in text
+    assert "10/10" in text
+
+
+def test_wgan_and_loss_postfix_layouts():
+    from xgan.train.loop_common import loss_live_postfix, wgan_live_postfix
+
+    assert wgan_live_postfix(np.asarray([1.0, 2.0, 3.5])) == "Loss_D: 3.5000"
+    assert wgan_live_postfix(
+        np.asarray([[1.0, 2.0], [3.0, 4.25]])) == "Loss_D: 4.2500"
+    assert loss_live_postfix(np.asarray([1.0, 3.0])) == "loss: 2.0000"

@@ -34,8 +34,8 @@ from xgan.parallel import create_mesh
 from xgan.train.cgan import make_cgan_step
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
-from xgan.train.loop_common import batch_tail_mask, grid_iters, \
-    EpochProgress, export_generator_pth, replay_data_rng, \
+from xgan.train.loop_common import batch_tail_mask, gan_live_postfix, \
+    grid_iters, EpochProgress, export_generator_pth, replay_data_rng, \
     resume_history, resume_preflight, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
@@ -192,7 +192,8 @@ def train_cgan(args):
                     and epoch == trace_epoch(start_epoch, args.epochs))
                 else None), \
                 EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
-                              num_batches) as progress:
+                              num_batches,
+                              postfix_fn=gan_live_postfix) as progress:
             i = 0
             while i < num_batches:
                 chunk = (k_steps if (multi_fn is not None
@@ -221,7 +222,7 @@ def train_cgan(args):
                                    f"iter_{t:06d}.png"))
                 iters += chunk
                 i += chunk
-                progress.update(i)
+                progress.update(i, metrics)
 
             em = np.asarray(jax.device_get(jnp.concatenate(
                 [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))

@@ -43,7 +43,7 @@ from xgan.train.curriculum import (get_current_synthetic_ratio,
                                    parse_curriculum_schedule)
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import EpochProgress, batch_tail_mask, \
-    trace_epoch
+    loss_live_postfix, trace_epoch
 from xgan.utils import check_create_dir
 from xgan.utils.timer import maybe_trace
 
@@ -99,7 +99,8 @@ def _epoch_pass(step_fn, state, device_stores, batches, ratio, key,
     extra = () if synth_pool is None else (synth_pool,)
     num_batches, batch_size = batches.shape
     t_mask = batch_tail_mask(n_samples, num_batches, batch_size)
-    with EpochProgress(label, num_batches) as progress:
+    with EpochProgress(label, num_batches,
+                       postfix_fn=loss_live_postfix) as progress:
         for i in range(batches.shape[0]):
             is_tail = t_mask is not None and i == num_batches - 1
             state, losses, preds, labels = step_fn(
@@ -110,7 +111,7 @@ def _epoch_pass(step_fn, state, device_stores, batches, ratio, key,
             losses_acc.append(losses)
             preds_acc.append(preds)
             labels_acc.append(labels)
-            progress.update(i + 1)
+            progress.update(i + 1, losses)
     losses = np.concatenate(jax.device_get(losses_acc))[:n_samples]
     preds = np.concatenate(jax.device_get(preds_acc))[:n_samples]
     labels = np.concatenate(jax.device_get(labels_acc))[:n_samples]
@@ -120,7 +121,8 @@ def _epoch_pass(step_fn, state, device_stores, batches, ratio, key,
 def _eval_pass(eval_fn, variables, store: DeviceStore, batches, n_samples,
                label="Evaluating"):
     losses_acc, preds_acc, labels_acc, probs_acc = [], [], [], []
-    with EpochProgress(label, batches.shape[0]) as progress:
+    with EpochProgress(label, batches.shape[0],
+                       postfix_fn=loss_live_postfix) as progress:
         for i in range(batches.shape[0]):
             losses, preds, labels, probs = eval_fn(variables, store.images,
                                                    jnp.asarray(batches[i]),
@@ -129,7 +131,7 @@ def _eval_pass(eval_fn, variables, store: DeviceStore, batches, n_samples,
             preds_acc.append(preds)
             labels_acc.append(labels)
             probs_acc.append(probs)
-            progress.update(i + 1)
+            progress.update(i + 1, losses)
     losses = np.concatenate(jax.device_get(losses_acc))[:n_samples]
     preds = np.concatenate(jax.device_get(preds_acc))[:n_samples]
     labels = np.concatenate(jax.device_get(labels_acc))[:n_samples]

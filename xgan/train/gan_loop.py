@@ -23,8 +23,8 @@ from xgan.models import dcgan
 from xgan.parallel import create_mesh
 from xgan.train.common import adam, create_state
 from xgan.train.gan import make_dcgan_step
-from xgan.train.loop_common import batch_tail_mask, grid_iters, \
-    EpochProgress, export_generator_pth, replay_data_rng, \
+from xgan.train.loop_common import batch_tail_mask, gan_live_postfix, \
+    grid_iters, EpochProgress, export_generator_pth, replay_data_rng, \
     resume_history, resume_preflight, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
@@ -167,7 +167,8 @@ def train_dcgan(args):
                     and epoch == trace_epoch(start_epoch, args.epochs))
                 else None), \
                 EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
-                              num_batches) as progress:
+                              num_batches,
+                              postfix_fn=gan_live_postfix) as progress:
             i = 0
             while i < num_batches:
                 chunk = (k_steps if (multi_fn is not None
@@ -196,7 +197,7 @@ def train_dcgan(args):
                         f"iter_{t:06d}.png"))
                 iters += chunk
                 i += chunk
-                progress.update(i)
+                progress.update(i, metrics)
 
             # One device->host sync per epoch for all per-iter metrics.
             em = np.asarray(jax.device_get(jnp.concatenate(

@@ -13,6 +13,9 @@ import os
 import sys
 import time
 
+import jax
+import numpy as np
+
 from xgan.data.pipeline import epoch_batches
 
 
@@ -112,27 +115,47 @@ def trace_epoch(start_epoch: int, epochs: int) -> int:
 class EpochProgress:
     """Reference-style in-epoch progress (tqdm bars with a live postfix,
     reference train_gan.py:118,162-163, train_classifier.py:147,223) —
-    but SYNC-FREE: it reports only
-    dispatch progress (batch counter + enqueue rate), never device
-    values, because fetching a loss per batch would force a device sync
-    every iteration — exactly the reference overhead the fused-epoch
-    design removes (metrics are fetched once per epoch). Writes only to
-    a TTY (tqdm's own auto-disable behavior on non-interactive streams),
-    so piped/driver logs stay clean."""
+    but SYNC-FREE: the batch counter / enqueue rate never touch device
+    values, and the live-loss postfix is OPPORTUNISTIC — it fetches a
+    step's metrics only once ``jax.Array.is_ready()`` says the result is
+    already materialized, so no update ever blocks on the device. (The
+    reference's tqdm postfix forces a device sync every iteration —
+    exactly the overhead the fused-epoch design removes; metrics are
+    still fetched in bulk once per epoch.) Writes only to a TTY (tqdm's
+    own auto-disable behavior on non-interactive streams), so
+    piped/driver logs stay clean, and throttles redraws to ~10 Hz so a
+    dispatch-bound 64px loop (tens of kHz) isn't slowed by terminal IO.
 
-    def __init__(self, label: str, num_batches: int):
+    ``postfix_fn``: maps the fetched (host numpy) metrics of one step to
+    a short display string; each trainer supplies its own layout."""
+
+    def __init__(self, label: str, num_batches: int, postfix_fn=None):
         self.enabled = sys.stdout.isatty()
         self.prefix = label
         self.total = num_batches
         self.t0 = time.time()
+        self.postfix_fn = postfix_fn
+        self.postfix = ""
+        self._last_write = 0.0
 
-    def update(self, i: int) -> None:
+    def update(self, i: int, metrics=None) -> None:
         if not self.enabled:
             return
-        rate = i / max(time.time() - self.t0, 1e-9)
+        now = time.time()
+        if now - self._last_write < 0.1 and i < self.total:
+            return
+        if (self.postfix_fn is not None and metrics is not None
+                and getattr(metrics, "is_ready", lambda: True)()):
+            try:  # display-only: a formatting surprise must not kill
+                self.postfix = ", " + self.postfix_fn(  # the epoch loop
+                    np.asarray(jax.device_get(metrics)))
+            except Exception:
+                self.postfix_fn = None
+        rate = i / max(now - self.t0, 1e-9)
         sys.stdout.write(f"\r{self.prefix}: {i}/{self.total} batches "
-                         f"dispatched ({rate:.1f}/s)")
+                         f"dispatched ({rate:.1f}/s){self.postfix}")
         sys.stdout.flush()
+        self._last_write = now
 
     def close(self) -> None:
         if self.enabled:
@@ -147,3 +170,24 @@ class EpochProgress:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+# Per-trainer live-postfix layouts (the reference tqdm postfix fields,
+# train_gan.py:162-163 / train_wggan.py:90-92 / train_classifier.py:154).
+
+def gan_live_postfix(m) -> str:
+    """DCGAN/CGAN step metrics: rows of [G, D, D_x, D_G_z1, D_G_z2, ...]
+    ((5+,) single step or (K, 5+) per --steps-per-call chunk)."""
+    row = np.atleast_2d(m)[-1]
+    return (f"Loss_D: {row[1]:.4f}, Loss_G: {row[0]:.4f}, "
+            f"D(x): {row[2]:.4f}")
+
+
+def wgan_live_postfix(m) -> str:
+    """WGAN critic losses ((critic_iters,) or (K, critic_iters))."""
+    return f"Loss_D: {np.asarray(m).reshape(-1)[-1]:.4f}"
+
+
+def loss_live_postfix(m) -> str:
+    """Classifier per-sample loss vector -> batch mean."""
+    return f"loss: {float(np.asarray(m).mean()):.4f}"

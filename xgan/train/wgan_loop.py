@@ -23,7 +23,7 @@ from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import batch_tail_mask, grid_iters, \
     EpochProgress, export_generator_pth, replay_data_rng, \
-    resume_history, resume_preflight, trace_epoch
+    resume_history, resume_preflight, trace_epoch, wgan_live_postfix
 from xgan.train.snapshot import SnapshotManager
 from xgan.train.wgan import make_wgan_step
 from xgan.utils import StepTimer, check_create_dir
@@ -130,7 +130,8 @@ def train_wgan(args):
                     and epoch == trace_epoch(start_epoch, args.epochs))
                 else None), \
                 EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
-                              num_batches) as progress:
+                              num_batches,
+                              postfix_fn=wgan_live_postfix) as progress:
             i = 0
             while i < num_batches:
                 chunk = (k_steps if (multi_fn is not None
@@ -159,7 +160,7 @@ def train_wgan(args):
                                    f"iter_{t:06d}.png"))
                 iters += chunk
                 i += chunk
-                progress.update(i)
+                progress.update(i, d_losses)
 
             # (critic_iters,) per single step, (K, critic_iters) per
             # chunk; flatten in iteration order either way.
