@@ -353,7 +353,16 @@ def main():
         def log_message(self, fmt, *a):  # quiet access log
             pass
 
-    srv = ThreadingHTTPServer((args.host, args.port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5; under concurrent
+        # load on a busy host (1-core here, handler threads + device
+        # dispatch competing for the GIL) the accept queue overflows and
+        # Linux RSTs the overflow connections — clients see ECONNRESET
+        # instead of queueing (observed with 16 clients on the TPU
+        # backend). A deeper backlog just parks them until accept runs.
+        request_queue_size = 128
+
+    srv = Server((args.host, args.port), Handler)
     print(f"Serving {model_name} ({kind}, image_size={size}) on "
           f"http://{args.host}:{srv.server_address[1]}")
     try:

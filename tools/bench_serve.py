@@ -111,6 +111,10 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--max-batches", type=str, default="1,8")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--write-detail", action="store_true",
+                    help="merge the A/B into BENCH_DETAIL.json under "
+                         "'serve_microbatch_ab' (bench_all.py-style "
+                         "read-modify-write; other keys untouched)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -136,6 +140,7 @@ def main():
             proc.wait(timeout=30)
         print(json.dumps({"max_batch": mb, **results[mb]}))
     mbs = sorted(results)
+    ratio = None
     if len(mbs) > 1 and results[mbs[0]]["req_per_sec"] > 0:
         ratio = (results[mbs[-1]]["req_per_sec"]
                  / results[mbs[0]]["req_per_sec"])
@@ -143,6 +148,23 @@ def main():
                           "value": round(ratio, 2),
                           "unit": f"x (max_batch {mbs[-1]} vs {mbs[0]}, "
                                   f"{args.clients} clients)"}))
+    if args.write_detail:
+        # no jax import here: only the server children touch the device
+        # (a parent-side backend init can hang on a dead tunnel)
+        out = os.path.join(REPO, "BENCH_DETAIL.json")
+        merged = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                merged = json.load(f)
+        entry = {"backend": "cpu" if args.cpu else "tpu",
+                 "clients": args.clients,
+                 "by_max_batch": {str(k): results[k] for k in mbs}}
+        if ratio is not None:
+            entry["speedup"] = round(ratio, 2)
+        merged["serve_microbatch_ab"] = entry
+        with open(out, "w") as f:
+            json.dump(merged, f, indent=2)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
