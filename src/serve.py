@@ -22,6 +22,12 @@ micro-batching: concurrent /predict requests coalesce into one device
 dispatch (padded to --max-batch; one compiled program shape), so
 throughput under load scales with the batch instead of serializing b=1
 calls. Generators run jitted under a lock.
+
+With ``--heartbeat N`` the server probes its own device every N seconds
+through the real serving path and /healthz becomes a READINESS check:
+it reports device_ok/latency/staleness and returns 503 once the device
+stops answering — catching the wedged-transport failure mode where HTTP
+stays healthy while every inference hangs.
 """
 import argparse
 import io
@@ -53,6 +59,14 @@ def build_parser():
                         "precompiled). 0 = auto: 8 on TPU (dispatch "
                         "overhead dominates a b=1 forward), 1 on CPU "
                         "(compute-bound; batching measured 0.7x there)")
+    p.add_argument("--heartbeat", type=float, default=0.0,
+                   help="device-liveness heartbeat period in seconds "
+                        "(0 = off): a background thread runs the real "
+                        "inference program through the serving path and "
+                        "/healthz reports device_ok + latency, going 503 "
+                        "when the last success is stale — catches a "
+                        "wedged device/tunnel that liveness-only health "
+                        "checks miss")
     p.add_argument("--cpu", action="store_true")
     from xgan import config
     config.add_compute_dtype_arg(p)  # checkpoint branch only; artifacts
@@ -128,6 +142,62 @@ class _Batcher:
                 for _, slot in batch:
                     slot["error"] = e
                     slot["event"].set()
+
+
+class _Heartbeat:
+    """Background device-liveness prober backing /healthz readiness.
+
+    Motivated by an observed failure mode of remote-attached
+    accelerators: the HTTP stack stays perfectly healthy while the
+    device transport silently wedges — every /predict hangs past client
+    timeouts but a liveness-only /healthz keeps answering ok, so an
+    orchestrator keeps routing traffic to a dead replica. The heartbeat
+    runs the REAL inference program through the same path requests take
+    every ``interval`` seconds and records latency + outcome; status()
+    flips unhealthy once the last success is older than ``stale_after``.
+
+    A beat that hangs forever blocks the prober thread — which is the
+    correct signal: the age keeps growing and status() goes stale. If
+    the device later recovers and the call returns, beating resumes.
+    Startup counts as a success (the server just proved the device
+    during pre-traffic compiles), so a slow first beat gets grace."""
+
+    def __init__(self, beat_fn, interval: float, stale_after=None):
+        import time
+        self._time = time.time
+        self.beat_fn = beat_fn
+        self.interval = interval
+        self.stale_after = (stale_after if stale_after is not None
+                            else max(3.0 * interval, interval + 60.0))
+        self.last_ok = self._time()
+        self.latency = None
+        self.error = None
+        self.beats = 0
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def _loop(self):
+        import time
+        while True:
+            t0 = self._time()
+            try:
+                self.beat_fn()
+                self.latency = self._time() - t0
+                self.last_ok = self._time()
+                self.error = None
+            except Exception as e:  # noqa: BLE001 — any failure is the
+                self.error = str(e)  # signal, not a crash
+            self.beats += 1
+            time.sleep(self.interval)
+
+    def status(self):
+        age = self._time() - self.last_ok
+        ok = age < self.stale_after
+        s = {"device_ok": ok, "heartbeat_age_s": round(age, 1)}
+        if self.latency is not None:
+            s["heartbeat_latency_s"] = round(self.latency, 4)
+        if self.error is not None:
+            s["heartbeat_error"] = self.error
+        return ok, s
 
 
 def make_model(args):
@@ -244,6 +314,23 @@ def main():
         if desc["conditional"]:
             health.update(num_classes=desc["num_classes"])
 
+    heartbeat = None
+    if args.heartbeat > 0:
+        if kind == "classifier":
+            probe = np.zeros((size, size, 3), np.uint8)
+            # bounded submit: a wedged dispatch times the BEAT out (so
+            # beating continues and the error is surfaced) instead of
+            # parking the prober until the hung call returns
+            beat_timeout = max(2.0 * args.heartbeat, 30.0)
+
+            def beat():
+                batcher.submit(probe, timeout=beat_timeout)
+        else:
+            def beat():
+                with lock:
+                    desc["generate"](0)
+        heartbeat = _Heartbeat(beat, args.heartbeat)
+
     class Handler(BaseHTTPRequestHandler):
         # bound the per-connection socket: a client that under-delivers
         # Content-Length would otherwise pin a handler thread forever
@@ -260,7 +347,14 @@ def main():
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, health)
+                payload = dict(health)
+                code = 200
+                if heartbeat is not None:
+                    ok, hs = heartbeat.status()
+                    payload.update(hs)
+                    if not ok:  # readiness semantics: pull the replica
+                        code = 503  # out of rotation, payload says why
+                self._json(code, payload)
             else:
                 self._json(404, {"error": "unknown path"})
 

@@ -339,3 +339,110 @@ def test_batcher_timeout_and_error_paths():
                                    np.full(imgs.shape[0], 0.5, np.float32))
     label, prob = b2.submit(img, timeout=10)
     assert (label, prob) == (1, 0.5)
+
+
+def _load_serve_mod():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "serve_mod_hb", os.path.join(SRC, "serve.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_heartbeat_tracks_latency_and_staleness():
+    """_Heartbeat unit contracts: a healthy beat keeps device_ok true
+    with a measured latency; once beats stop succeeding, device_ok flips
+    after stale_after and the error is surfaced; a recovered device
+    flips it back. Motivated by an observed production failure mode:
+    the HTTP stack stays healthy while the device tunnel silently
+    wedges, so a liveness-only /healthz keeps a dead replica in
+    rotation."""
+    import threading
+
+    serve_mod = _load_serve_mod()
+    broken = threading.Event()
+
+    def beat():
+        if broken.is_set():
+            raise RuntimeError("tunnel wedged")
+
+    hb = serve_mod._Heartbeat(beat, interval=0.05, stale_after=0.5)
+    deadline = time.time() + 10
+    while hb.beats < 2 and time.time() < deadline:
+        time.sleep(0.02)
+    ok, s = hb.status()
+    assert ok and s["device_ok"]
+    assert s["heartbeat_latency_s"] >= 0
+    assert "heartbeat_error" not in s
+
+    broken.set()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        ok, s = hb.status()
+        if not ok:
+            break
+        time.sleep(0.05)
+    assert not ok and not s["device_ok"]
+    assert "wedged" in s["heartbeat_error"]
+
+    broken.clear()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        ok, s = hb.status()
+        if ok:
+            break
+        time.sleep(0.05)
+    assert ok and "heartbeat_error" not in s
+
+
+def test_heartbeat_startup_grace():
+    """Before the first beat completes (e.g. a slow first dispatch),
+    status stays ok for stale_after — the model already proved the
+    device during pre-traffic compiles."""
+    import threading
+
+    serve_mod = _load_serve_mod()
+    gate = threading.Event()
+    hb = serve_mod._Heartbeat(lambda: gate.wait(30), interval=0.05,
+                              stale_after=5.0)
+    ok, s = hb.status()
+    assert ok and s["device_ok"]
+    gate.set()
+
+
+def test_serve_healthz_heartbeat_fields(tmp_path):
+    """--heartbeat N: /healthz gains device_ok/heartbeat_* fields backed
+    by real periodic dispatches through the serving path."""
+    from xgan.io_.export import export_generator, save_exported
+    from xgan.models.dcgan import Generator
+
+    model = Generator(latent_dim=16, feature_maps=8, image_size=32)
+    v = model.init(jax.random.key(1), jnp.zeros((1, 16)), train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    path = str(tmp_path / "gen.stablehlo")
+    save_exported(path, export_generator(model, v, 16))
+
+    proc, port = _start(path, "--heartbeat", "0.2")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+                health = json.loads(r.read())
+            if "heartbeat_latency_s" in health:
+                break
+            time.sleep(0.2)
+        assert health["ok"] and health["device_ok"]
+        assert health["heartbeat_latency_s"] >= 0
+        assert health["heartbeat_age_s"] < 60
+        # a generate through the same (locked) path still works with the
+        # heartbeat competing for it
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"seed": 1}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"] == "image/png"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
