@@ -283,11 +283,12 @@ def bench_sampler(mesh_ctx, dtype, size, batch, out_dir):
     return out
 
 
-def bench_exported_classifier(dtype, size, batch):
+def bench_exported_classifier(dtype, size, batch, quantize=False):
     """Serving rate of the StableHLO export artifact
     (src/export_model.py): deserialize, wrap .call in jit, and
     chain-slope-time uint8-batch inference — the number a deployment of
-    the self-contained artifact gets, model code not loaded."""
+    the self-contained artifact gets, model code not loaded. With
+    ``quantize``, the int8 weight-only artifact (--quantize int8)."""
     from jax import export as jexport
 
     from xgan.io_.export import export_classifier
@@ -297,7 +298,11 @@ def bench_exported_classifier(dtype, size, batch):
     v = model.init(jax.random.key(0), jnp.zeros((2, size, size, 3)),
                    train=False)
     v = {"params": v["params"], "batch_stats": v["batch_stats"]}
-    art = jexport.deserialize(export_classifier(model, v, size))
+    if quantize:
+        from xgan.io_.quant import quantize_params
+        v = dict(v, params=quantize_params(v["params"]))
+    blob = export_classifier(model, v, size)
+    art = jexport.deserialize(blob)
     images = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, (512, size, size, 3), np.uint8))
 
@@ -316,7 +321,7 @@ def bench_exported_classifier(dtype, size, batch):
         return labels
     dt = timeit(run, 0, iters=10)
     return {"sec_per_batch": dt, "imgs_per_sec": batch / dt,
-            "batch": batch}
+            "batch": batch, "artifact_mb": round(len(blob) / 1e6, 1)}
 
 
 def bench_sharded_sampling_cpu8():
@@ -409,6 +414,12 @@ def main():
          "Same artifact in f32: the A/B for the inference CLIs' "
          "--compute-dtype default (auto->bf16 on TPU)",
          lambda: bench_exported_classifier(jnp.float32, 224, 128)),
+        ("exported_resnet50_infer_224px_b128_int8w",
+         "Same artifact with int8 weight-only quantization "
+         "(--quantize int8): the throughput side of the ~4x artifact "
+         "size reduction A/B",
+         lambda: bench_exported_classifier(dtype, 224, 128,
+                                           quantize=True)),
     ]
     only = set(args.only.split(",")) if args.only else None
     if only is not None:

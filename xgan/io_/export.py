@@ -41,14 +41,18 @@ def make_classifier_infer(model, variables):
 
     Shared by the StableHLO export, src/predict.py and src/serve.py so
     the artifact, the batch CLI and the HTTP server are provably the
-    same computation."""
+    same computation. ``variables`` may carry int8-quantized kernels
+    (xgan.io_.quant) — dequantization happens inside the traced program
+    (identity for full-precision trees)."""
     import jax
     import jax.numpy as jnp
 
     from xgan.data.pipeline import normalize_images
+    from xgan.io_.quant import dequantize_params
 
     def infer(imgs_u8):
-        logits = model.apply(variables, normalize_images(imgs_u8),
+        v = dict(variables, params=dequantize_params(variables["params"]))
+        logits = model.apply(v, normalize_images(imgs_u8),
                              train=False)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.argmax(logits, -1), probs[:, 1]
@@ -71,25 +75,34 @@ def export_classifier(model, variables, image_size: int,
 def export_generator(model, variables, latent_dim: int,
                      conditional: bool = False,
                      platforms=DEFAULT_PLATFORMS) -> bytes:
-    """Serialize ``z (b,latent) [, labels (b,)] -> uint8 images``."""
+    """Serialize ``z (b,latent) [, labels (b,)] -> uint8 images``.
+    Like the classifier path, ``variables`` may carry int8-quantized
+    kernels — dequantized inside the traced program."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
     from xgan.data.pipeline import tanh_to_u8
+    from xgan.io_.quant import dequantize_params
 
+    # dequantize INSIDE the traced functions: eager (pre-trace) jax ops
+    # on the concrete int8 arrays would bake their f32 expansion into
+    # the artifact (measured: zero size reduction); in-trace they lower
+    # to int8 constants + a convert op
     zspec = _batch_spec((latent_dim,), jnp.float32)
     if conditional:
         def gen(z, labels):
-            return tanh_to_u8(model.apply(variables, z, labels,
-                                          train=False))
+            v = dict(variables,
+                     params=dequantize_params(variables["params"]))
+            return tanh_to_u8(model.apply(v, z, labels, train=False))
         # labels share the symbolic batch dimension with z
         lspec = jax.ShapeDtypeStruct(zspec.shape[:1], jnp.int32)
         return jexport.export(jax.jit(gen), platforms=tuple(platforms))(
             zspec, lspec).serialize()
 
     def gen(z):
-        return tanh_to_u8(model.apply(variables, z, train=False))
+        v = dict(variables, params=dequantize_params(variables["params"]))
+        return tanh_to_u8(model.apply(v, z, train=False))
     return jexport.export(jax.jit(gen),
                           platforms=tuple(platforms))(zspec).serialize()
 
