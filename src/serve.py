@@ -28,6 +28,11 @@ through the real serving path and /healthz becomes a READINESS check:
 it reports device_ok/latency/staleness and returns 503 once the device
 stops answering — catching the wedged-transport failure mode where HTTP
 stays healthy while every inference hangs.
+
+``GET /metrics`` exposes Prometheus-text counters: per-endpoint request
+counts/latency histograms plus micro-batcher occupancy (dispatch sizes,
+pad waste, device latency) — the numbers needed to tune --max-batch and
+alert on saturation in a real deployment.
 """
 import argparse
 import io
@@ -35,6 +40,7 @@ import json
 import os
 import sys
 import threading
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -73,6 +79,86 @@ def build_parser():
     return p                         # baked their dtype at export time
 
 
+class _Metrics:
+    """Prometheus-text-exposition counters behind GET /metrics.
+
+    Deliberately dependency-free (the exposition format is three line
+    shapes: counter samples, histogram buckets, sum/count). Everything
+    is guarded by one lock — increments are tiny compared to a device
+    dispatch, and the scrape renders a consistent snapshot."""
+
+    # seconds; chosen to straddle both backends (CPU b=1 forward ~50 ms,
+    # TPU batched dispatch ~1-10 ms, tunnel stalls in the seconds)
+    LAT_BUCKETS = (0.005, 0.025, 0.1, 0.5, 2.5, 10.0)
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = {}      # (endpoint, code) -> count
+        self.lat = {}           # endpoint -> [sum, count, per-le counts]
+        self.batches = 0        # batcher dispatches
+        self.rows = 0           # real images inferred through the batcher
+        self.padded = 0         # pad rows dispatched (bucket - occupancy)
+        self.batch_size = {}    # dispatch occupancy n -> count
+        self.device = [0.0, 0, [0] * (len(self.LAT_BUCKETS) + 1)]
+
+    def _observe(self, holder, seconds):
+        holder[0] += seconds
+        holder[1] += 1
+        for i, le in enumerate(self.LAT_BUCKETS):
+            if seconds <= le:
+                holder[2][i] += 1
+        holder[2][-1] += 1  # +Inf
+
+    def observe_request(self, endpoint, code, seconds):
+        with self.lock:
+            key = (endpoint, int(code))
+            self.requests[key] = self.requests.get(key, 0) + 1
+            h = self.lat.setdefault(
+                endpoint, [0.0, 0, [0] * (len(self.LAT_BUCKETS) + 1)])
+            self._observe(h, seconds)
+
+    def observe_batch(self, n, bucket, seconds):
+        with self.lock:
+            self.batches += 1
+            self.rows += n
+            self.padded += bucket - n
+            self.batch_size[n] = self.batch_size.get(n, 0) + 1
+            self._observe(self.device, seconds)
+
+    def _hist_lines(self, out, name, labels, holder):
+        for le, c in zip(self.LAT_BUCKETS, holder[2]):
+            out.append(f'{name}_bucket{{{labels}le="{le}"}} {c}')
+        out.append(f'{name}_bucket{{{labels}le="+Inf"}} {holder[2][-1]}')
+        out.append(f'{name}_sum{{{labels[:-1]}}} {holder[0]:.6f}'
+                   if labels else f'{name}_sum {holder[0]:.6f}')
+        out.append(f'{name}_count{{{labels[:-1]}}} {holder[1]}'
+                   if labels else f'{name}_count {holder[1]}')
+
+    def render(self) -> str:
+        with self.lock:
+            out = ["# TYPE xgan_requests_total counter"]
+            for (ep, code), c in sorted(self.requests.items()):
+                out.append(f'xgan_requests_total{{endpoint="{ep}",'
+                           f'code="{code}"}} {c}')
+            out.append("# TYPE xgan_request_latency_seconds histogram")
+            for ep, h in sorted(self.lat.items()):
+                self._hist_lines(out, "xgan_request_latency_seconds",
+                                 f'endpoint="{ep}",', h)
+            out.append("# TYPE xgan_batch_dispatches_total counter")
+            out.append(f"xgan_batch_dispatches_total {self.batches}")
+            out.append("# TYPE xgan_batch_rows_total counter")
+            out.append(f"xgan_batch_rows_total {self.rows}")
+            out.append("# TYPE xgan_batch_padded_rows_total counter")
+            out.append(f"xgan_batch_padded_rows_total {self.padded}")
+            out.append("# TYPE xgan_batch_occupancy counter")
+            for n, c in sorted(self.batch_size.items()):
+                out.append(f'xgan_batch_occupancy{{rows="{n}"}} {c}')
+            out.append("# TYPE xgan_device_dispatch_seconds histogram")
+            self._hist_lines(out, "xgan_device_dispatch_seconds", "",
+                             self.device)
+            return "\n".join(out) + "\n"
+
+
 class _Batcher:
     """Dynamic micro-batching for /predict: concurrent requests that
     arrive while the device is busy run together in the next dispatch
@@ -85,9 +171,10 @@ class _Batcher:
     (eval-mode BN uses running statistics), so padded rows cannot
     perturb real ones."""
 
-    def __init__(self, infer_batch, max_batch: int):
+    def __init__(self, infer_batch, max_batch: int, metrics=None):
         self.infer_batch = infer_batch
         self.max_batch = max_batch
+        self.metrics = metrics
         self.buckets = []
         b = 1
         while b < max_batch:
@@ -132,8 +219,11 @@ class _Batcher:
                 imgs = np.concatenate(
                     [imgs, np.repeat(imgs[-1:], bucket - n, 0)])
             try:
+                t0 = time.time()
                 labels, probs = self.infer_batch(imgs)
                 labels, probs = np.asarray(labels), np.asarray(probs)
+                if self.metrics is not None:  # asarray blocked: real time
+                    self.metrics.observe_batch(n, bucket, time.time() - t0)
                 for i, (_, slot) in enumerate(batch):
                     slot["label"] = int(labels[i])
                     slot["prob"] = float(probs[i])
@@ -163,7 +253,6 @@ class _Heartbeat:
     during pre-traffic compiles), so a slow first beat gets grace."""
 
     def __init__(self, beat_fn, interval: float, stale_after=None):
-        import time
         self._time = time.time
         self.beat_fn = beat_fn
         self.interval = interval
@@ -176,7 +265,6 @@ class _Heartbeat:
         threading.Thread(target=self._loop, daemon=True).start()
 
     def _loop(self):
-        import time
         while True:
             t0 = self._time()
             try:
@@ -281,6 +369,7 @@ def main():
         print(f"Error: model not found at {args.model_path}")
         sys.exit(1)
     batcher = None
+    metrics = _Metrics()
     try:
         desc = make_model(args)
         # compile before accepting traffic so the first request is fast;
@@ -290,7 +379,8 @@ def main():
             size = desc["image_size"]
             mb = args.max_batch or (
                 1 if jax.default_backend() == "cpu" else 8)
-            batcher = _Batcher(desc["infer_batch"], max(1, mb))
+            batcher = _Batcher(desc["infer_batch"], max(1, mb),
+                               metrics=metrics)
             for b in batcher.buckets:  # compile every bucket pre-traffic
                 desc["infer_batch"](np.zeros((b, size, size, 3), np.uint8))
         else:
@@ -338,6 +428,7 @@ def main():
         timeout = 120
 
         def _json(self, code, obj):
+            self._code = code
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -345,7 +436,25 @@ def main():
             self.end_headers()
             self.wfile.write(body)
 
+        def _observed(self, inner):
+            """Run a handler body and record endpoint/code/latency.
+            Unknown paths collapse to one 'other' label so a client
+            probing random URLs cannot explode metric cardinality."""
+            t0 = time.time()
+            self._code = 0  # 0 = no response written (e.g. client gone)
+            try:
+                inner()
+            finally:
+                path = (self.path if self.path in
+                        ("/predict", "/generate", "/healthz", "/metrics")
+                        else "other")
+                metrics.observe_request(path, self._code,
+                                        time.time() - t0)
+
         def do_GET(self):
+            self._observed(self._get)
+
+        def _get(self):
             if self.path == "/healthz":
                 payload = dict(health)
                 code = 200
@@ -355,6 +464,15 @@ def main():
                     if not ok:  # readiness semantics: pull the replica
                         code = 503  # out of rotation, payload says why
                 self._json(code, payload)
+            elif self.path == "/metrics":
+                self._code = 200
+                body = metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -370,7 +488,7 @@ def main():
 
         def do_POST(self):
             try:
-                self._post()
+                self._observed(self._post)
             except OSError:
                 pass  # client went away mid-request/response
 
@@ -434,6 +552,7 @@ def main():
                     self._json(500, {"error": f"generation failed: {e}"})
                     return
                 png = buf.getvalue()
+                self._code = 200
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.send_header("Content-Length", str(len(png)))

@@ -446,3 +446,81 @@ def test_serve_healthz_heartbeat_fields(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_metrics_render_unit():
+    """_Metrics exposition-format contracts: counter lines per
+    (endpoint, code), cumulative histogram buckets with +Inf == count,
+    batcher occupancy/pad accounting."""
+    serve_mod = _load_serve_mod()
+    m = serve_mod._Metrics()
+    m.observe_request("/predict", 200, 0.05)
+    m.observe_request("/predict", 200, 0.3)
+    m.observe_request("/predict", 400, 0.001)
+    m.observe_batch(3, 4, 0.02)
+    m.observe_batch(4, 4, 0.02)
+    text = m.render()
+    lines = text.splitlines()
+    assert 'xgan_requests_total{endpoint="/predict",code="200"} 2' in lines
+    assert 'xgan_requests_total{endpoint="/predict",code="400"} 1' in lines
+    # histogram: buckets are cumulative; +Inf equals the count
+    assert ('xgan_request_latency_seconds_bucket{endpoint="/predict",'
+            'le="0.005"} 1') in lines
+    assert ('xgan_request_latency_seconds_bucket{endpoint="/predict",'
+            'le="0.1"} 2') in lines
+    assert ('xgan_request_latency_seconds_bucket{endpoint="/predict",'
+            'le="+Inf"} 3') in lines
+    assert ('xgan_request_latency_seconds_count{endpoint="/predict"} 3'
+            in lines)
+    assert "xgan_batch_dispatches_total 2" in lines
+    assert "xgan_batch_rows_total 7" in lines
+    assert "xgan_batch_padded_rows_total 1" in lines
+    assert 'xgan_batch_occupancy{rows="3"} 1' in lines
+    assert "xgan_device_dispatch_seconds_count 2" in lines
+    # sums parse as floats
+    sums = [ln for ln in lines if "_sum" in ln]
+    assert sums and all(float(ln.rsplit(" ", 1)[1]) >= 0 for ln in sums)
+
+
+def test_serve_metrics_endpoint(tmp_path):
+    """GET /metrics over real HTTP: per-endpoint request counters and
+    latency histograms reflect the traffic actually served (2 good
+    /generate, 1 structured 400, healthz scrapes)."""
+    from xgan.io_.export import export_generator, save_exported
+    from xgan.models.dcgan import Generator
+
+    model = Generator(latent_dim=16, feature_maps=8, image_size=32)
+    v = model.init(jax.random.key(1), jnp.zeros((1, 16)), train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    path = str(tmp_path / "gen.stablehlo")
+    save_exported(path, export_generator(model, v, 16))
+
+    proc, port = _start(path)
+    try:
+        for seed in (1, 2):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"seed": seed}).encode(), method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert r.status == 200
+        code, _ = _post(port, "/generate", b"[1,2]")  # non-object body
+        assert code == 400
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            assert r.status == 200
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=60) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        lines = text.splitlines()
+        assert ('xgan_requests_total{endpoint="/generate",code="200"} 2'
+                in lines)
+        assert ('xgan_requests_total{endpoint="/generate",code="400"} 1'
+                in lines)
+        assert ('xgan_requests_total{endpoint="/healthz",code="200"} 1'
+                in lines)
+        assert ('xgan_request_latency_seconds_count{endpoint="/generate"}'
+                ' 3' in lines)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
