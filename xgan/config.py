@@ -96,6 +96,13 @@ def add_tpu_args(p: argparse.ArgumentParser):
                         "to chunk boundaries)")
     p.add_argument("--trace-dir", type=str, default="",
                    help="Write a jax.profiler trace of one epoch here")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="Shard the widest layers' params/moments/BN stats "
+                        "N-ways over the mesh's 'model' axis (tensor "
+                        "parallelism; devices/N become the data axis). "
+                        "1 = replicated params (default; fastest at "
+                        "ResNet-50/DCGAN scale — TP is a memory-ceiling "
+                        "capability, not a speedup here)")
     p.add_argument("--resume-from", type=str, default="",
                    help="Resume from a snapshot_last.msgpack ('auto' = "
                         "pick up the run's own last snapshot)")

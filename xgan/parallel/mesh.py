@@ -6,8 +6,9 @@ Here the same slot is a first-class mesh abstraction:
 
 - one ``jax.sharding.Mesh`` with axes ``("data", "model")`` — the GAN and
   classifier workloads are batch-parallel convnets, so "data" carries the
-  parallelism (DP) and "model" exists for parameter sharding of the
-  widest layers at larger scales (kept size 1 by default);
+  parallelism (DP) and "model" carries tensor parallelism of the widest
+  layers (``--model-parallel N`` via xgan/parallel/tp.py; size 1 =
+  replicated, the default and the fastest at these model scales);
 - batches are sharded ``P("data", ...)``, parameters replicated;
 - XLA inserts the gradient all-reduces and the cross-replica BatchNorm
   reductions over ICI automatically — there is no hand-written collective

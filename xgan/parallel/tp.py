@@ -82,3 +82,20 @@ def shard_over_model(mesh_ctx: MeshContext, tree,
         return mesh_ctx.replicate(tree)
     return jax.device_put(tree, model_sharding_tree(mesh_ctx, tree,
                                                     min_features))
+
+
+def model_parallel_from_args(args) -> int:
+    """CLI-facing validation of --model-parallel: N must divide the
+    available device count (the mesh is (devices/N, N)). Degrades to
+    replicated params with a visible note instead of crashing — the same
+    convention as --steps-per-call on the classifier."""
+    n = getattr(args, "model_parallel", 1) or 1
+    if n <= 1:
+        return 1
+    import jax
+    ndev = len(jax.devices())
+    if ndev % n != 0:
+        print(f"Note: --model-parallel {n} does not divide the {ndev} "
+              f"available device(s); training with replicated params.")
+        return 1
+    return n

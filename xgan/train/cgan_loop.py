@@ -31,6 +31,7 @@ from xgan.io_.metrics import write_json
 from xgan.models import cgan
 from xgan.models.vgg import VGG16Features
 from xgan.parallel import create_mesh
+from xgan.parallel.tp import model_parallel_from_args, shard_over_model
 from xgan.train.cgan import make_cgan_step
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
@@ -96,7 +97,7 @@ def train_cgan(args):
         print(f"Error: {e}")
         return None
 
-    mesh_ctx = create_mesh()
+    mesh_ctx = create_mesh(model_parallel=model_parallel_from_args(args))
     batch_size = mesh_ctx.pad_batch(args.batch_size)
     dtype = resolve_dtype(args.compute_dtype)
     print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
@@ -126,8 +127,9 @@ def train_cgan(args):
         jnp.zeros((2, args.image_size, args.image_size,
                    args.num_channels)), ex_labels, train=False)
     vgg_model, vgg_params = _init_vgg(args, dtype, k_v)
-    g_state = mesh_ctx.replicate(g_state)
-    d_state = mesh_ctx.replicate(d_state)
+    # --model-parallel N: wide layers shard over the 'model' axis.
+    g_state = shard_over_model(mesh_ctx, g_state)
+    d_state = shard_over_model(mesh_ctx, d_state)
     vgg_params = mesh_ctx.replicate(vgg_params)
 
     step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,

@@ -36,6 +36,7 @@ from xgan.io_.figures_classifier import generate_plots
 from xgan.io_.metrics import cv_summary, write_json
 from xgan.models.resnet import ResNet50
 from xgan.parallel import create_mesh
+from xgan.parallel.tp import model_parallel_from_args, shard_over_model
 from xgan.train.classifier import (classifier_optimizer, make_eval_step,
                                    make_train_step, weighted_prf)
 from xgan.train.common import ModelState
@@ -208,7 +209,11 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
     tx = classifier_optimizer(args.lr, freeze_base=not args.unfreeze)
     state = ModelState(params=params, batch_stats=stats,
                        opt_state=tx.init(params))
-    state = mesh_ctx.replicate(state)
+    # With --model-parallel N the wide layers' params/moments/BN stats
+    # shard over the mesh's 'model' axis (xgan/parallel/tp.py); N=1 is
+    # exactly replicate(). Equality with the replicated run is pinned by
+    # tests/test_tp.py and the driver's dryrun_multichip.
+    state = shard_over_model(mesh_ctx, state)
 
     bsh = mesh_ctx.batch_sharding(4)
     # SPMD-safe since round 2: the kernel shard_maps over the batch axis
@@ -439,7 +444,16 @@ def train_classifier(args):
                             np.uint8),
             labels=np.ones((1,), np.int32), size=args.image_size)
 
-    mesh_ctx = create_mesh()
+    model_parallel = model_parallel_from_args(args)
+    if model_parallel > 1 and getattr(args, "parallel_folds", False):
+        # the fold axis owns the mesh in that mode (parallel_folds.py
+        # builds its own ('fold','data') mesh); composing TP under it is
+        # a different program — run one or the other.
+        print("Note: --model-parallel is ignored with --parallel-folds "
+              "(the fold axis owns the mesh); training with replicated "
+              "params.")
+        model_parallel = 1
+    mesh_ctx = create_mesh(model_parallel=model_parallel)
     dtype = resolve_dtype(args.compute_dtype)
     print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
           f"{dtype.__name__}; strategy {strategy}; k_folds {args.k_folds}")

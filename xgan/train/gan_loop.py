@@ -21,6 +21,7 @@ from xgan.io_.figures import plot_gan_losses, save_image_grid
 from xgan.io_.metrics import write_json
 from xgan.models import dcgan
 from xgan.parallel import create_mesh
+from xgan.parallel.tp import model_parallel_from_args, shard_over_model
 from xgan.train.common import adam, create_state
 from xgan.train.gan import make_dcgan_step
 from xgan.train.loop_common import batch_tail_mask, gan_live_postfix, \
@@ -70,7 +71,7 @@ def train_dcgan(args):
         return None
     print(f"Loaded training data with {len(store)} samples.")
 
-    mesh_ctx = create_mesh()
+    mesh_ctx = create_mesh(model_parallel=model_parallel_from_args(args))
     n_dev = mesh_ctx.n_data
     batch_size = mesh_ctx.pad_batch(args.batch_size)
     if batch_size != args.batch_size:
@@ -99,8 +100,10 @@ def train_dcgan(args):
         d_model, d_tx, k_d,
         jnp.zeros((2, args.image_size, args.image_size, args.num_channels)),
         train=False)
-    g_state = mesh_ctx.replicate(g_state)
-    d_state = mesh_ctx.replicate(d_state)
+    # --model-parallel N: wide layers shard over the 'model' axis
+    # (xgan/parallel/tp.py); N=1 is exactly replicate().
+    g_state = shard_over_model(mesh_ctx, g_state)
+    d_state = shard_over_model(mesh_ctx, d_state)
     print("Generator and Discriminator initialized.")
 
     step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,

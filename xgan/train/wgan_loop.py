@@ -19,6 +19,7 @@ from xgan.io_.figures import plot_wgan_losses, save_image_grid
 from xgan.io_.metrics import write_json
 from xgan.models import wgan
 from xgan.parallel import create_mesh
+from xgan.parallel.tp import model_parallel_from_args, shard_over_model
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import batch_tail_mask, grid_iters, \
@@ -46,7 +47,7 @@ def train_wgan(args):
         print(f"Error: {e}")
         return None
 
-    mesh_ctx = create_mesh()
+    mesh_ctx = create_mesh(model_parallel=model_parallel_from_args(args))
     batch_size = mesh_ctx.pad_batch(args.batch_size)
     dtype = resolve_dtype(args.compute_dtype)
     print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
@@ -73,8 +74,9 @@ def train_wgan(args):
         c_model, c_tx, k_c,
         jnp.zeros((2, args.image_size, args.image_size, args.num_channels)),
         train=False)
-    g_state = mesh_ctx.replicate(g_state)
-    c_state = mesh_ctx.replicate(c_state)
+    # --model-parallel N: wide layers shard over the 'model' axis.
+    g_state = shard_over_model(mesh_ctx, g_state)
+    c_state = shard_over_model(mesh_ctx, c_state)
 
     step_kwargs = dict(latent_dim=args.latent_dim,
                        critic_iters=args.critic_iters,
