@@ -47,6 +47,13 @@ def build_parser():
     p.add_argument("--parallel-folds", action="store_true",
                    help="Train all CV folds simultaneously (vmap-stacked "
                         "fold states; ~k-fold wall-clock speedup)")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize bottleneck-block activations in "
+                        "the backward pass (jax.checkpoint; identical "
+                        "numerics, ~1.2x step time). Buys HBM headroom "
+                        "when block-INTERNAL activations dominate; at "
+                        "ResNet-50/224 max batch is boundary-bound and "
+                        "unchanged (measured, tools/bench_remat.py)")
     config.add_tpu_args(p)
     return p
 

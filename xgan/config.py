@@ -96,6 +96,12 @@ def add_tpu_args(p: argparse.ArgumentParser):
                         "to chunk boundaries)")
     p.add_argument("--trace-dir", type=str, default="",
                    help="Write a jax.profiler trace of one epoch here")
+    p.add_argument("--shard-opt-state", action="store_true",
+                   help="ZeRO-1: shard the wide layers' Adam moments "
+                        "across ALL mesh devices (each chip keeps 1/N "
+                        "of the optimizer state; math unchanged — the "
+                        "update slices the all-reduced gradient locally "
+                        "and all-gathers the delta)")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="Shard the widest layers' params/moments/BN stats "
                         "N-ways over the mesh's 'model' axis (tensor "

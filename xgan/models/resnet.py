@@ -57,7 +57,11 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool, mask=None):
+    def __call__(self, x, train: bool = True, mask=None):
+        # train/mask are positional-or-keyword (not kw-only) so that
+        # nn.remat(Bottleneck, static_argnums=(2,)) can mark ``train``
+        # static — jax.checkpoint's static_argnums only sees positional
+        # args, and a traced ``train`` would break BN's Python branch.
         identity = x
         out = nn.relu(_ConvBN(self.width, 1, dtype=self.dtype,
                               name="conv1")(x, train=train, mask=mask))
@@ -77,6 +81,14 @@ class ResNet50(nn.Module):
     num_classes: int = 2
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    # Activation rematerialization (--remat): each bottleneck block is
+    # wrapped in jax.checkpoint via nn.remat, so the backward pass
+    # recomputes block-internal activations instead of keeping them in
+    # HBM across the whole forward. Numerics are identical (same ops,
+    # pinned by tests/test_remat.py); the trade is ~1 extra forward of
+    # FLOPs for peak-activation memory of one block instead of fifty —
+    # the standard jax.checkpoint batch-headroom lever on TPU.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, return_features: bool = False,
@@ -94,13 +106,18 @@ class ResNet50(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
+        # static_argnums=(2,): ``train`` (self=0, x=1); ``mask`` stays
+        # dynamic (an array or None). Param/variable trees are identical
+        # to the un-remat'd module, so checkpoints interop freely.
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
         for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                x = Bottleneck(width, stride=stride, downsample=(b == 0),
-                               dtype=self.dtype,
-                               name=f"layer{stage + 1}_{b}")(
-                                   x, train=train, mask=mask)
+                x = block_cls(width, stride=stride, downsample=(b == 0),
+                              dtype=self.dtype,
+                              name=f"layer{stage + 1}_{b}")(
+                                  x, train, mask)
         features = x
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         logits = Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)

@@ -84,6 +84,43 @@ def shard_over_model(mesh_ctx: MeshContext, tree,
                                                     min_features))
 
 
+def shard_opt_state(mesh_ctx: MeshContext, state,
+                    min_features: int = MIN_FEATURES):
+    """ZeRO-1-style optimizer-state sharding (``--shard-opt-state``).
+
+    Adam's mu/nu are 2x the parameter memory and are touched only by the
+    elementwise update — they never feed a matmul — so unlike weights
+    they can shard over EVERY mesh axis at once with no algorithmic
+    consequence: each device keeps 1/n_devices of the moments,
+    GSPMD slices the (replicated, already all-reduced) gradient locally
+    for the update and all-gathers the parameter delta once per step —
+    the same traffic class as the existing gradient all-reduce.
+    Semantics are unchanged (pinned by tests/test_zero1.py; bitwise it
+    reorders f32 reductions like any GSPMD re-layout).
+
+    Leaves reuse the model-axis shape rule with the axis set to the
+    whole mesh ``(model, data)``; narrow/indivisible leaves (early conv
+    moments, fc bias, Adam's step counter) stay replicated — the wide
+    tail is where the memory lives. Returns ``state`` with only
+    ``opt_state`` re-placed, so it composes with/after
+    :func:`shard_over_model` (a wide moment then shards over model AND
+    data instead of model alone).
+    """
+    n = mesh_ctx.n_devices
+    if n == 1:
+        return state
+    axes = (mesh_ctx.model_axis, mesh_ctx.data_axis)
+
+    def leaf(x):
+        spec = model_axis_spec(np.shape(x), n, min_features, axes)
+        return NamedSharding(mesh_ctx.mesh, spec)
+
+    placed = jax.device_put(
+        state.opt_state,
+        jax.tree_util.tree_map(leaf, state.opt_state))
+    return state.replace(opt_state=placed)
+
+
 def model_parallel_from_args(args) -> int:
     """CLI-facing validation of --model-parallel: N must divide the
     available device count (the mesh is (devices/N, N)). Degrades to

@@ -31,7 +31,8 @@ from xgan.io_.metrics import write_json
 from xgan.models import cgan
 from xgan.models.vgg import VGG16Features
 from xgan.parallel import create_mesh
-from xgan.parallel.tp import model_parallel_from_args, shard_over_model
+from xgan.parallel.tp import (model_parallel_from_args, shard_opt_state,
+                              shard_over_model)
 from xgan.train.cgan import make_cgan_step
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
@@ -130,6 +131,9 @@ def train_cgan(args):
     # --model-parallel N: wide layers shard over the 'model' axis.
     g_state = shard_over_model(mesh_ctx, g_state)
     d_state = shard_over_model(mesh_ctx, d_state)
+    if getattr(args, "shard_opt_state", False):  # ZeRO-1 Adam moments
+        g_state = shard_opt_state(mesh_ctx, g_state)
+        d_state = shard_opt_state(mesh_ctx, d_state)
     vgg_params = mesh_ctx.replicate(vgg_params)
 
     step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,

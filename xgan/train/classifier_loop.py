@@ -36,7 +36,8 @@ from xgan.io_.figures_classifier import generate_plots
 from xgan.io_.metrics import cv_summary, write_json
 from xgan.models.resnet import ResNet50
 from xgan.parallel import create_mesh
-from xgan.parallel.tp import model_parallel_from_args, shard_over_model
+from xgan.parallel.tp import (model_parallel_from_args, shard_opt_state,
+                              shard_over_model)
 from xgan.train.classifier import (classifier_optimizer, make_eval_step,
                                    make_train_step, weighted_prf)
 from xgan.train.common import ModelState
@@ -60,7 +61,8 @@ def _resnet_stages(args):
 
 def _init_resnet(args, dtype, rng):
     model = ResNet50(num_classes=2, dtype=dtype,
-                     stage_sizes=_resnet_stages(args))
+                     stage_sizes=_resnet_stages(args),
+                     remat=getattr(args, "remat", False))
     variables = model.init(
         rng, jnp.zeros((2, args.image_size, args.image_size, 3)),
         train=False)
@@ -214,6 +216,8 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
     # exactly replicate(). Equality with the replicated run is pinned by
     # tests/test_tp.py and the driver's dryrun_multichip.
     state = shard_over_model(mesh_ctx, state)
+    if getattr(args, "shard_opt_state", False):  # ZeRO-1 Adam moments
+        state = shard_opt_state(mesh_ctx, state)
 
     bsh = mesh_ctx.batch_sharding(4)
     # SPMD-safe since round 2: the kernel shard_maps over the batch axis

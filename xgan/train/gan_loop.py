@@ -21,7 +21,8 @@ from xgan.io_.figures import plot_gan_losses, save_image_grid
 from xgan.io_.metrics import write_json
 from xgan.models import dcgan
 from xgan.parallel import create_mesh
-from xgan.parallel.tp import model_parallel_from_args, shard_over_model
+from xgan.parallel.tp import (model_parallel_from_args, shard_opt_state,
+                              shard_over_model)
 from xgan.train.common import adam, create_state
 from xgan.train.gan import make_dcgan_step
 from xgan.train.loop_common import batch_tail_mask, gan_live_postfix, \
@@ -104,6 +105,9 @@ def train_dcgan(args):
     # (xgan/parallel/tp.py); N=1 is exactly replicate().
     g_state = shard_over_model(mesh_ctx, g_state)
     d_state = shard_over_model(mesh_ctx, d_state)
+    if getattr(args, "shard_opt_state", False):  # ZeRO-1 Adam moments
+        g_state = shard_opt_state(mesh_ctx, g_state)
+        d_state = shard_opt_state(mesh_ctx, d_state)
     print("Generator and Discriminator initialized.")
 
     step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,

@@ -19,7 +19,8 @@ from xgan.io_.figures import plot_wgan_losses, save_image_grid
 from xgan.io_.metrics import write_json
 from xgan.models import wgan
 from xgan.parallel import create_mesh
-from xgan.parallel.tp import model_parallel_from_args, shard_over_model
+from xgan.parallel.tp import (model_parallel_from_args, shard_opt_state,
+                              shard_over_model)
 from xgan.train.common import adam, create_state
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import batch_tail_mask, grid_iters, \
@@ -77,6 +78,9 @@ def train_wgan(args):
     # --model-parallel N: wide layers shard over the 'model' axis.
     g_state = shard_over_model(mesh_ctx, g_state)
     c_state = shard_over_model(mesh_ctx, c_state)
+    if getattr(args, "shard_opt_state", False):  # ZeRO-1 Adam moments
+        g_state = shard_opt_state(mesh_ctx, g_state)
+        c_state = shard_opt_state(mesh_ctx, c_state)
 
     step_kwargs = dict(latent_dim=args.latent_dim,
                        critic_iters=args.critic_iters,
