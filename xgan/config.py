@@ -96,6 +96,14 @@ def add_tpu_args(p: argparse.ArgumentParser):
                         "to chunk boundaries)")
     p.add_argument("--trace-dir", type=str, default="",
                    help="Write a jax.profiler trace of one epoch here")
+    p.add_argument("--shard-store", action="store_true",
+                   help="Row-shard the uint8 image store(s) across ALL "
+                        "mesh devices (each chip holds 1/N of the "
+                        "dataset; batches assemble via one on-ICI "
+                        "all-reduce per step) — the HBM lever for "
+                        "datasets that outgrow replication. Classifier: "
+                        "real+test stores shard, synthetic stays "
+                        "replicated; disables the Pallas mixed gather.")
     p.add_argument("--shard-opt-state", action="store_true",
                    help="ZeRO-1: shard the wide layers' Adam moments "
                         "across ALL mesh devices (each chip keeps 1/N "

@@ -26,7 +26,9 @@ def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
               synth_pool: jnp.ndarray | None = None,
               use_pallas: bool = False,
               sharding=None,
-              pallas_interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              pallas_interpret: bool = False,
+              real_take=None,
+              synth_take=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns a mixed uint8 batch and its labels.
 
     real_images_u8: (N_r, S, S, 3) store; real_idx: (B,) this batch's rows.
@@ -57,8 +59,10 @@ def mix_batch(real_images_u8: jnp.ndarray, real_labels: jnp.ndarray,
                                    sharding=sharding,
                                    interpret=pallas_interpret)
     else:
-        real_batch = jnp.take(real_images_u8, real_idx, axis=0)
-        synth_batch = jnp.take(synth_images_u8, synth_idx, axis=0)
+        from xgan.data.pipeline import take_rows
+        real_batch = (real_take or take_rows)(real_images_u8, real_idx)
+        synth_batch = (synth_take or take_rows)(synth_images_u8,
+                                                synth_idx)
         images = jnp.where(use_synth[:, None, None, None],
                            synth_batch, real_batch)
 

@@ -58,14 +58,16 @@ def random_flip(u8: jnp.ndarray, key) -> jnp.ndarray:
 
 def gather_preprocess(images_u8: jnp.ndarray, idx: jnp.ndarray, key,
                       *, train: bool, dtype=jnp.float32,
-                      batch_sharding=None) -> jnp.ndarray:
+                      batch_sharding=None, take=None) -> jnp.ndarray:
     """HBM store (N,S,S,3) u8 + (B,) idx -> normalized (B,S,S,3) batch.
 
     Intended to be called inside a jitted step; when ``batch_sharding``
     (a NamedSharding over the mesh data axis) is given, the gathered batch
     is constrained to it so downstream conv work is data-parallel.
+    ``take`` overrides the row gather (DeviceStore.take — the sharded
+    store's psum gather under --shard-store).
     """
-    batch = jnp.take(images_u8, idx, axis=0)
+    batch = (take or take_rows)(images_u8, idx)
     if batch_sharding is not None:
         batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
     if train:
@@ -102,8 +104,56 @@ def minmax_to_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(y * 255.0).astype(jnp.uint8)
 
 
+def take_rows(images_u8: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """The replicated-store gather (default everywhere)."""
+    return jnp.take(images_u8, idx, axis=0)
+
+
+def make_sharded_take(mesh_ctx, shard_rows: int):
+    """Row gather from a store sharded over ALL mesh devices on dim 0.
+
+    Each device owns a contiguous ``shard_rows`` block. For a (B,) index
+    vector every device gathers its local hits, zeroes the misses, and a
+    ``psum`` over the whole mesh assembles the batch — exactly one owner
+    contributes per row, so the sum is exact (contributions ride bf16,
+    where every u8 value is exactly representable, halving the
+    all-reduce bytes vs int32). Per step this costs one B-sized image
+    all-reduce over ICI in exchange for holding 1/n_devices of the
+    dataset per chip — the HBM lever for datasets that outgrow
+    replication (26k RSNA images at 224px replicate at ~4 GB/chip; at
+    448px or web-scale counts replication stops fitting next to the
+    model).
+
+    Returned callable is jit/scan-safe (a shard_map region); use it in
+    place of :func:`take_rows` inside steps.
+    """
+    mesh = mesh_ctx.mesh
+    axes = (mesh_ctx.data_axis, mesh_ctx.model_axis)
+    from jax.sharding import PartitionSpec as P
+
+    def take(images_u8, idx):
+        def local(block, idx):
+            lin = (jax.lax.axis_index(axes[0]) * mesh.shape[axes[1]]
+                   + jax.lax.axis_index(axes[1]))
+            rel = idx - lin * shard_rows
+            hit = (rel >= 0) & (rel < shard_rows)
+            rows = jnp.take(block, jnp.clip(rel, 0, shard_rows - 1),
+                            axis=0)
+            rows = jnp.where(hit[:, None, None, None],
+                             rows.astype(jnp.bfloat16), jnp.bfloat16(0))
+            return jax.lax.psum(rows, axes)
+
+        out = jax.shard_map(local, mesh=mesh, in_specs=(P(axes), P()),
+                            out_specs=P(), check_vma=False)(images_u8,
+                                                            idx)
+        return out.astype(jnp.uint8)
+
+    return take
+
+
 class DeviceStore:
-    """An ImageStore pushed to device HBM (replicated over the mesh).
+    """An ImageStore pushed to device HBM (replicated over the mesh, or
+    row-sharded across all devices with ``shard=True``).
 
     Multi-host: ``jax.device_put`` cannot address other hosts' devices,
     so when the mesh spans processes the global replicated arrays are
@@ -113,14 +163,41 @@ class DeviceStore:
     ``jax.distributed.initialize()`` before ``create_mesh`` (see
     xgan/parallel/mesh.py docstring); single-process meshes take the
     plain device_put path.
+
+    ``shard=True`` (``--shard-store``): images are padded to a multiple
+    of n_devices (``len()`` still reports the LOGICAL count — indices
+    never reference pad rows) and placed row-sharded over the whole
+    mesh; ``self.take`` becomes the psum-assembling sharded gather
+    (:func:`make_sharded_take`). Labels stay replicated (4 bytes/row).
+    Multi-host sharding is not wired (every process decodes the full
+    store here); it degrades to replicated with a note.
     """
 
-    def __init__(self, store, mesh_ctx=None):
+    def __init__(self, store, mesh_ctx=None, shard: bool = False):
         self.size = store.size
         self.labels_host = np.asarray(store.labels, np.int32)
         imgs = np.ascontiguousarray(store.images)
         labels = self.labels_host
-        if mesh_ctx is not None and jax.process_count() > 1:
+        self._n = imgs.shape[0]
+        self.take = take_rows
+        if shard and mesh_ctx is not None and jax.process_count() > 1:
+            print("Note: --shard-store is single-host only here; "
+                  "replicating the store.")
+            shard = False
+        if shard and mesh_ctx is not None and mesh_ctx.n_devices > 1:
+            n_dev = mesh_ctx.n_devices
+            padded = ((self._n + n_dev - 1) // n_dev) * n_dev
+            if padded != self._n:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((padded - self._n,) + imgs.shape[1:],
+                                    imgs.dtype)])
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P((mesh_ctx.data_axis, mesh_ctx.model_axis))
+            self.images = jax.device_put(
+                imgs, NamedSharding(mesh_ctx.mesh, spec))
+            self.labels = jax.device_put(labels, mesh_ctx.replicated())
+            self.take = make_sharded_take(mesh_ctx, padded // n_dev)
+        elif mesh_ctx is not None and jax.process_count() > 1:
             self.images = jax.make_array_from_process_local_data(
                 mesh_ctx.replicated(), imgs)
             self.labels = jax.make_array_from_process_local_data(
@@ -132,5 +209,10 @@ class DeviceStore:
             self.images = jax.device_put(imgs)
             self.labels = jax.device_put(labels)
 
+    @property
+    def sharded(self) -> bool:
+        return self.take is not take_rows
+
     def __len__(self) -> int:
-        return self.images.shape[0]
+        # logical row count — pad rows (shard mode) are not addressable
+        return self._n

@@ -47,7 +47,7 @@ def feature_matching_loss(real_feats, fake_feats, weights=None):
 def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
                    latent_dim: int, dtype=jnp.float32,
                    batch_sharding=None, donate: bool = True,
-                   steps_per_call: int = 1):
+                   steps_per_call: int = 1, store_take=None):
     """Returns jitted step(g_state, d_state, vgg_params, images_u8,
     labels_all, idx, epoch, key) -> (g_state, d_state, metrics[7]) with
     metrics = [loss_G, loss_D, D_x, D_G_z1, D_G_z2, perceptual, fm].
@@ -66,7 +66,8 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
         mkw = {} if mask is None else {"mask": mask}
         k_flip, k_noise, k_lab, k_rs, k_fs = jax.random.split(key, 5)
         real = gather_preprocess(images_u8, idx, k_flip, train=True,
-                                 dtype=dtype, batch_sharding=batch_sharding)
+                                 dtype=dtype, batch_sharding=batch_sharding,
+                                 take=store_take)
         real_labels = jnp.take(labels_all, idx, axis=0)
         b = idx.shape[0]
 

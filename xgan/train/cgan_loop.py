@@ -103,7 +103,8 @@ def train_cgan(args):
     dtype = resolve_dtype(args.compute_dtype)
     print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
           f"{dtype.__name__}")
-    device_store = DeviceStore(store, mesh_ctx)
+    device_store = DeviceStore(store, mesh_ctx,
+                               shard=getattr(args, "shard_store", False))
 
     g_model = cgan.Generator(latent_dim=args.latent_dim,
                              num_classes=NUM_CLASSES,
@@ -137,7 +138,8 @@ def train_cgan(args):
     vgg_params = mesh_ctx.replicate(vgg_params)
 
     step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,
-                       batch_sharding=mesh_ctx.batch_sharding(4))
+                       batch_sharding=mesh_ctx.batch_sharding(4),
+                       store_take=device_store.take)
     step_fn = make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx,
                              **step_kwargs)
     # K>1: K steps per dispatch; epoch tails use the single-step program.

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from xgan.data.mixer import mix_batch
-from xgan.data.pipeline import normalize_images, random_flip
+from xgan.data.pipeline import normalize_images, random_flip, take_rows
 from xgan.train.common import ModelState, apply_updates, weighted_mean
 
 
@@ -45,7 +45,8 @@ def softmax_ce(logits, labels):
 
 def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
                   *, use_pallas: bool = False, sharding=None,
-                  pallas_interpret: bool = False):
+                  pallas_interpret: bool = False, real_take=None,
+                  synth_take=None, n_real=None):
     """Virtual ConcatDataset gather: idx < n_real -> real, else synthetic.
 
     Mirrors ConcatDataset([real_subset, synthetic]) ordering
@@ -53,12 +54,19 @@ def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
     ``use_pallas`` switches to the single-DMA-per-sample kernel
     (xgan.ops.pallas.gather); with ``sharding`` set it runs shard_mapped
     over the batch axis, so it also works under SPMD.
+    ``real_take``/``synth_take`` override the row gathers (sharded
+    stores); ``n_real`` must then be the LOGICAL real count — a sharded
+    store's array is padded, so real_u8.shape[0] would misplace the
+    real/synthetic boundary.
     """
-    n_real = real_u8.shape[0]
+    if n_real is None:
+        n_real = real_u8.shape[0]
     is_real = idx < n_real
     r_idx = jnp.where(is_real, idx, 0)
     s_idx = jnp.where(is_real, 0, idx - n_real)
     if use_pallas:
+        # the Pallas kernel DMAs rows from locally-complete stores;
+        # loops disable it under --shard-store
         from xgan.ops.pallas.gather import mixed_gather_spmd
         imgs = mixed_gather_spmd(real_u8, synth_u8, r_idx, s_idx,
                                  jnp.logical_not(is_real),
@@ -66,8 +74,8 @@ def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
                                  interpret=pallas_interpret)
     else:
         imgs = jnp.where(is_real[:, None, None, None],
-                         jnp.take(real_u8, r_idx, axis=0),
-                         jnp.take(synth_u8, s_idx, axis=0))
+                         (real_take or take_rows)(real_u8, r_idx),
+                         (synth_take or take_rows)(synth_u8, s_idx))
     labels = jnp.where(is_real, jnp.take(real_labels, r_idx, axis=0),
                        jnp.take(synth_labels, s_idx, axis=0))
     return imgs, labels
@@ -76,7 +84,8 @@ def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
 def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
                     batch_sharding=None, use_pallas_gather: bool = False,
                     jit_compile: bool = True, pooled_synth: bool = False,
-                    pallas_interpret: bool = False):
+                    pallas_interpret: bool = False, real_take=None,
+                    synth_take=None, n_real=None):
     """mode: 'real' | 'concat' | 'mix'.
 
     step(state, real_u8, real_labels, synth_u8, synth_labels, idx, ratio,
@@ -96,21 +105,26 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
     def assemble(real_u8, real_labels, synth_u8, synth_labels, synth_pool,
                  idx, ratio, key):
         if mode == "real":
-            imgs = jnp.take(real_u8, idx, axis=0)
+            imgs = (real_take or take_rows)(real_u8, idx)
             labels = jnp.take(real_labels, idx, axis=0)
         elif mode == "concat":
             imgs, labels = gather_concat(real_u8, real_labels, synth_u8,
                                          synth_labels, idx,
                                          use_pallas=use_pallas_gather,
                                          sharding=batch_sharding,
-                                         pallas_interpret=pallas_interpret)
+                                         pallas_interpret=pallas_interpret,
+                                         real_take=real_take,
+                                         synth_take=synth_take,
+                                         n_real=n_real)
         elif mode == "mix":
             imgs, labels = mix_batch(real_u8, real_labels, idx, synth_u8,
                                      synth_labels, ratio, key,
                                      synth_pool=synth_pool,
                                      use_pallas=use_pallas_gather,
                                      sharding=batch_sharding,
-                                     pallas_interpret=pallas_interpret)
+                                     pallas_interpret=pallas_interpret,
+                                     real_take=real_take,
+                                     synth_take=synth_take)
         else:
             raise ValueError(mode)
         return imgs, labels
@@ -173,11 +187,12 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
 
 
 def make_eval_step(model, *, dtype=jnp.float32, batch_sharding=None,
-                   jit_compile: bool = True):
+                   jit_compile: bool = True, take=None):
     """Eval: running-stats BN, no flip. Returns (per-sample loss, preds,
-    labels, positive-class probability)."""
+    labels, positive-class probability). ``take`` overrides the row
+    gather (sharded stores)."""
     def step(variables, images_u8, idx, labels_all):
-        imgs_u8 = jnp.take(images_u8, idx, axis=0)
+        imgs_u8 = (take or take_rows)(images_u8, idx)
         labels = jnp.take(labels_all, idx, axis=0)
         if batch_sharding is not None:
             imgs_u8 = jax.lax.with_sharding_constraint(imgs_u8,

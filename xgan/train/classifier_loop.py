@@ -223,15 +223,25 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
     # SPMD-safe since round 2: the kernel shard_maps over the batch axis
     # (xgan/ops/pallas/gather.py:mixed_gather_spmd), so multi-device
     # meshes keep the single-DMA-per-sample path too.
-    use_pallas = jax.default_backend() == "tpu" and mode != "real"
+    # the Pallas kernel DMAs rows from locally-complete stores, so a
+    # sharded store (--shard-store) falls back to the psum gather
+    use_pallas = (jax.default_backend() == "tpu" and mode != "real"
+                  and not real_dev.sharded)
+    n_real = len(real_dev)  # LOGICAL length: a sharded store is padded,
+    # so the steps must not read the real/synth boundary off .shape[0]
     train_step = make_train_step(model, tx, mode=mode, dtype=dtype,
                                  batch_sharding=bsh,
                                  use_pallas_gather=use_pallas,
-                                 pooled_synth=synth_pool is not None)
-    eval_step = make_eval_step(model, dtype=dtype, batch_sharding=bsh)
+                                 pooled_synth=synth_pool is not None,
+                                 real_take=real_dev.take,
+                                 synth_take=synth_dev.take,
+                                 n_real=n_real)
+    # eval gathers from THIS run's val store (real folds or the test
+    # store) — its take closure carries that store's shard geometry
+    eval_step = make_eval_step(model, dtype=dtype, batch_sharding=bsh,
+                               take=val_spec[0].take)
 
     batch_size = mesh_ctx.pad_batch(args.batch_size)
-    n_real = len(real_dev)
     if strategy == "augmented" and not synth_fallback:
         epoch_space = np.concatenate([
             np.asarray(train_indices, np.int64),
@@ -467,15 +477,28 @@ def train_classifier(args):
         # multistep_dispatch_ab); the flag is a GAN-trainer optimization.
         print("Note: --steps-per-call applies to the GAN trainers; "
               "ignored for classifier training.")
-    real_dev = DeviceStore(train_store, mesh_ctx)
+    shard_store = getattr(args, "shard_store", False)
+    if shard_store and getattr(args, "parallel_folds", False):
+        # parallel folds owns a different ('fold','data') mesh and its
+        # steps gather locally per fold-group — composing a store shard
+        # under it is a different program; run one or the other.
+        print("Note: --shard-store is ignored with --parallel-folds; "
+              "replicating the stores.")
+        shard_store = False
+    # real + test stores carry the dataset memory; the synthetic store
+    # stays replicated (it is generated, typically far smaller, and the
+    # curriculum fallback aliases it to the real store — which IS
+    # sharded then, via the aliased take).
+    real_dev = DeviceStore(train_store, mesh_ctx, shard=shard_store)
     synth_dev = DeviceStore(synth_store, mesh_ctx)
-    test_dev = DeviceStore(test_store, mesh_ctx)
+    test_dev = DeviceStore(test_store, mesh_ctx, shard=shard_store)
     stores = (real_dev, synth_dev, test_dev)
 
     eval_model = ResNet50(num_classes=2, dtype=dtype,
                           stage_sizes=_resnet_stages(args))
     eval_step = make_eval_step(eval_model, dtype=dtype,
-                               batch_sharding=mesh_ctx.batch_sharding(4))
+                               batch_sharding=mesh_ctx.batch_sharding(4),
+                               take=test_dev.take)
     batch_size = mesh_ctx.pad_batch(args.batch_size)
 
     if is_cv and getattr(args, "parallel_folds", False):

@@ -36,7 +36,8 @@ FAKE_LABEL = 0.0
 
 def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
                     dtype=jnp.float32, batch_sharding=None,
-                    donate: bool = True, steps_per_call: int = 1):
+                    donate: bool = True, steps_per_call: int = 1,
+                    store_take=None):
     """Returns jitted step(g_state, d_state, images_u8, idx, key) ->
     (g_state, d_state, metrics[5]) with metrics =
     [loss_G, loss_D, D_x, D_G_z1, D_G_z2].
@@ -60,7 +61,8 @@ def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
         mkw = {} if mask is None else {"mask": mask}
         k_flip, k_noise = jax.random.split(key)
         real = gather_preprocess(images_u8, idx, k_flip, train=True,
-                                 dtype=dtype, batch_sharding=batch_sharding)
+                                 dtype=dtype, batch_sharding=batch_sharding,
+                                 take=store_take)
         b = idx.shape[0]
         noise = jax.random.normal(k_noise, (b, latent_dim), jnp.float32)
 

@@ -81,7 +81,8 @@ def train_dcgan(args):
     dtype = resolve_dtype(args.compute_dtype)
     print(f"Mesh: {mesh_ctx.mesh.shape}; compute dtype {dtype.__name__}")
 
-    device_store = DeviceStore(store, mesh_ctx)
+    device_store = DeviceStore(store, mesh_ctx,
+                               shard=getattr(args, "shard_store", False))
 
     g_model = dcgan.Generator(latent_dim=args.latent_dim,
                               num_channels=args.num_channels,
@@ -111,7 +112,8 @@ def train_dcgan(args):
     print("Generator and Discriminator initialized.")
 
     step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,
-                       batch_sharding=mesh_ctx.batch_sharding(4))
+                       batch_sharding=mesh_ctx.batch_sharding(4),
+                       store_take=device_store.take)
     step_fn = make_dcgan_step(g_model, d_model, g_tx, d_tx, **step_kwargs)
     # K>1: a second program that runs K steps per dispatch (lax.scan over
     # the same body, identical PRNG stream); the tail of an epoch that

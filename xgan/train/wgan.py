@@ -64,7 +64,8 @@ def gradient_penalty(apply_fn, real, fake, key, lambda_gp: float = 10.0,
 def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
                    critic_iters: int, lambda_gp: float,
                    dtype=jnp.float32, batch_sharding=None,
-                   donate: bool = True, steps_per_call: int = 1):
+                   donate: bool = True, steps_per_call: int = 1,
+                   store_take=None):
     """Returns jitted step(g_state, c_state, images_u8, idx, key) ->
     (g_state, c_state, d_losses (critic_iters,), g_loss).
 
@@ -81,7 +82,8 @@ def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
         mkw = {} if mask is None else {"mask": mask}
         k_flip, k_critic, k_g = jax.random.split(key, 3)
         real = gather_preprocess(images_u8, idx, k_flip, train=True,
-                                 dtype=dtype, batch_sharding=batch_sharding)
+                                 dtype=dtype, batch_sharding=batch_sharding,
+                                 take=store_take)
 
         def critic_update(carry, key_i):
             g_st, c_st = carry

@@ -54,7 +54,8 @@ def train_wgan(args):
     print(f"Mesh: {dict(mesh_ctx.mesh.shape)}; compute dtype "
           f"{dtype.__name__}; critic_iters {args.critic_iters}; "
           f"lambda_gp {args.lambda_gp}")
-    device_store = DeviceStore(store, mesh_ctx)
+    device_store = DeviceStore(store, mesh_ctx,
+                               shard=getattr(args, "shard_store", False))
 
     g_model = wgan.Generator(latent_dim=args.latent_dim,
                              num_channels=args.num_channels,
@@ -85,7 +86,8 @@ def train_wgan(args):
     step_kwargs = dict(latent_dim=args.latent_dim,
                        critic_iters=args.critic_iters,
                        lambda_gp=args.lambda_gp, dtype=dtype,
-                       batch_sharding=mesh_ctx.batch_sharding(4))
+                       batch_sharding=mesh_ctx.batch_sharding(4),
+                       store_take=device_store.take)
     step_fn = make_wgan_step(g_model, c_model, g_tx, c_tx, **step_kwargs)
     # K>1: K steps per dispatch; epoch tails use the single-step program.
     k_steps = max(1, int(getattr(args, "steps_per_call", 1) or 1))
