@@ -54,6 +54,15 @@ def build_parser():
                         "when block-INTERNAL activations dominate; at "
                         "ResNet-50/224 max batch is boundary-bound and "
                         "unchanged (measured, tools/bench_remat.py)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="Split each batch into K sequential microbatches "
+                        "inside one program: gradients accumulate, one "
+                        "optimizer update fires, only one microbatch's "
+                        "activations are live (~K× activation-memory "
+                        "reduction; the effective-batch lever for sizes "
+                        "past the fused step's HBM ceiling). torch "
+                        "accumulation semantics: per-microbatch BN "
+                        "batch statistics")
     config.add_tpu_args(p)
     return p
 

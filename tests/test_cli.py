@@ -69,6 +69,7 @@ def test_train_classifier_flags():
     assert d["k_folds"] == 5
     assert d["use_synthetic"] is False and d["use_curriculum"] is False
     assert d["curriculum_schedule"] == "0:0.0, 5:0.25, 10:0.5"
+    assert d["grad_accum"] == 1  # TPU-native extra; 1 = reference step
 
 
 @pytest.mark.parametrize("script,fm", [("generate_synthetic", 64),

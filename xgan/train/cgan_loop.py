@@ -18,6 +18,7 @@ egress for torchvision downloads here).
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import jax
@@ -167,7 +168,8 @@ def train_cgan(args):
                "feature_matching_losses": []}
     data_rng = np.random.default_rng(args.seed)
     snap_mgr = SnapshotManager(
-        os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx)
+        os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx,
+        async_io=True)  # overlap D2H+write with the next epoch
     try:
         states, start_epoch, iters = snap_mgr.try_resume(
             getattr(args, "resume_from", ""),
@@ -182,89 +184,97 @@ def train_cgan(args):
     timer = StepTimer()
     start = time.time()
 
-    for epoch in range(start_epoch, args.epochs):
-        t0 = time.time()
-        batches = epoch_batches(len(store), batch_size, data_rng)
-        if args.limit_batches:
-            batches = batches[:args.limit_batches]
-        num_batches = batches.shape[0]
-        t_mask = batch_tail_mask(len(store), num_batches, batch_size)
-        chunkable = num_batches - (1 if t_mask is not None else 0)
-        epoch_metrics = []
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            t0 = time.time()
+            batches = epoch_batches(len(store), batch_size, data_rng)
+            if args.limit_batches:
+                batches = batches[:args.limit_batches]
+            num_batches = batches.shape[0]
+            t_mask = batch_tail_mask(len(store), num_batches, batch_size)
+            chunkable = num_batches - (1 if t_mask is not None else 0)
+            epoch_metrics = []
 
-        # Optional XLA profiler capture (first post-compile epoch, or the
-        # only epoch on 1-epoch runs); exception-safe via the with-block.
-        with maybe_trace(
-                getattr(args, "trace_dir", "")
-                if (getattr(args, "trace_dir", "")
-                    and epoch == trace_epoch(start_epoch, args.epochs))
-                else None), \
-                EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
-                              num_batches,
-                              postfix_fn=gan_live_postfix) as progress:
-            i = 0
-            while i < num_batches:
-                chunk = (k_steps if (multi_fn is not None
-                                     and i + k_steps <= chunkable) else 1)
-                if chunk > 1:
-                    g_state, d_state, metrics = multi_fn(
-                        g_state, d_state, vgg_params, device_store.images,
-                        device_store.labels,
-                        jnp.asarray(batches[i:i + chunk]),
-                        jnp.int32(epoch), jnp.int32(iters), k_data)
-                else:
-                    is_tail = (t_mask is not None
-                               and i == num_batches - 1)
-                    g_state, d_state, metrics = step_fn(
-                        g_state, d_state, vgg_params, device_store.images,
-                        device_store.labels, jnp.asarray(batches[i]),
-                        jnp.int32(epoch), jax.random.fold_in(k_data, iters),
-                        mask=jnp.asarray(t_mask) if is_tail else None)
-                epoch_metrics.append(metrics)
+            # Optional XLA profiler capture (first post-compile epoch, or the
+            # only epoch on 1-epoch runs); exception-safe via the with-block.
+            with maybe_trace(
+                    getattr(args, "trace_dir", "")
+                    if (getattr(args, "trace_dir", "")
+                        and epoch == trace_epoch(start_epoch, args.epochs))
+                    else None), \
+                    EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
+                                  num_batches,
+                                  postfix_fn=gan_live_postfix) as progress:
+                i = 0
+                while i < num_batches:
+                    chunk = (k_steps if (multi_fn is not None
+                                         and i + k_steps <= chunkable) else 1)
+                    if chunk > 1:
+                        g_state, d_state, metrics = multi_fn(
+                            g_state, d_state, vgg_params, device_store.images,
+                            device_store.labels,
+                            jnp.asarray(batches[i:i + chunk]),
+                            jnp.int32(epoch), jnp.int32(iters), k_data)
+                    else:
+                        is_tail = (t_mask is not None
+                                   and i == num_batches - 1)
+                        g_state, d_state, metrics = step_fn(
+                            g_state, d_state, vgg_params, device_store.images,
+                            device_store.labels, jnp.asarray(batches[i]),
+                            jnp.int32(epoch), jax.random.fold_in(k_data, iters),
+                            mask=jnp.asarray(t_mask) if is_tail else None)
+                    epoch_metrics.append(metrics)
 
-                for t in grid_iters(iters, chunk, args.save_interval,
-                                    epoch == args.epochs - 1, i,
-                                    num_batches):
-                    sample_grid(os.path.join(
-                        image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
-                                   f"iter_{t:06d}.png"))
-                iters += chunk
-                i += chunk
-                progress.update(i, metrics)
+                    for t in grid_iters(iters, chunk, args.save_interval,
+                                        epoch == args.epochs - 1, i,
+                                        num_batches):
+                        sample_grid(os.path.join(
+                            image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                                       f"iter_{t:06d}.png"))
+                    iters += chunk
+                    i += chunk
+                    progress.update(i, metrics)
 
-            em = np.asarray(jax.device_get(jnp.concatenate(
-                [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
-        timer.tick(num_batches)
-        history["G_losses_iter"].extend(em[:, 0].tolist())
-        history["D_losses_iter"].extend(em[:, 1].tolist())
-        history["D_x_iter"].extend(em[:, 2].tolist())
-        history["D_G_z1_iter"].extend(em[:, 3].tolist())
-        history["D_G_z2_iter"].extend(em[:, 4].tolist())
-        history["G_losses_epoch"].append(float(em[:, 0].mean()))
-        history["D_losses_epoch"].append(float(em[:, 1].mean()))
-        history["perceptual_losses"].append(float(em[:, 5].mean()))
-        history["feature_matching_losses"].append(float(em[:, 6].mean()))
+                em = np.asarray(jax.device_get(jnp.concatenate(
+                    [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
+            timer.tick(num_batches)
+            history["G_losses_iter"].extend(em[:, 0].tolist())
+            history["D_losses_iter"].extend(em[:, 1].tolist())
+            history["D_x_iter"].extend(em[:, 2].tolist())
+            history["D_G_z1_iter"].extend(em[:, 3].tolist())
+            history["D_G_z2_iter"].extend(em[:, 4].tolist())
+            history["G_losses_epoch"].append(float(em[:, 0].mean()))
+            history["D_losses_epoch"].append(float(em[:, 1].mean()))
+            history["perceptual_losses"].append(float(em[:, 5].mean()))
+            history["feature_matching_losses"].append(float(em[:, 6].mean()))
 
-        print(f"Epoch {epoch + 1}/{args.epochs} Summary - "
-              f"Time: {time.time() - t0:.2f}s, "
-              f"Avg Loss_D: {em[:, 1].mean():.4f}, "
-              f"Avg Loss_G: {em[:, 0].mean():.4f}, "
-              f"{timer.rate * batch_size:.1f} imgs/s")
+            print(f"Epoch {epoch + 1}/{args.epochs} Summary - "
+                  f"Time: {time.time() - t0:.2f}s, "
+                  f"Avg Loss_D: {em[:, 1].mean():.4f}, "
+                  f"Avg Loss_G: {em[:, 0].mean():.4f}, "
+                  f"{timer.rate * batch_size:.1f} imgs/s")
 
-        if ((epoch + 1) % args.checkpoint_interval == 0
-                or (epoch + 1) == args.epochs):
-            save_variables(os.path.join(
-                model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
-                g_state.variables())
-            save_variables(os.path.join(
-                model_dir,
-                f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
-                d_state.variables())
-            snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
-            # history persists with the snapshot (see gan_loop.py)
-            write_json(history_path, history)
-            print(f"Saved checkpoints for epoch {epoch + 1} to {model_dir}")
+            if ((epoch + 1) % args.checkpoint_interval == 0
+                    or (epoch + 1) == args.epochs):
+                snap_mgr.save_file(os.path.join(
+                    model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
+                    g_state.variables())
+                snap_mgr.save_file(os.path.join(
+                    model_dir,
+                    f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
+                    d_state.variables())
+                snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
+                # history persists with the snapshot (see gan_loop.py)
+                snap_mgr.save_json(history_path, history)
+                print(f"Saved checkpoints for epoch {epoch + 1} to {model_dir}")
 
+    finally:
+        # Land queued async writes on EVERY exit path: normally before
+        # the final saves below; on a crash so bytes for snapshots the
+        # loop already reported saved aren't lost with the daemon
+        # writer thread. Worker errors re-raise only on the clean path
+        # (they must not mask an in-flight exception).
+        snap_mgr.flush(reraise=sys.exc_info()[0] is None)
     print(f"Training finished in {time.time() - start:.2f} seconds.")
     save_variables(os.path.join(model_dir, "generator_final.msgpack"),
                    g_state.variables())

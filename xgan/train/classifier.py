@@ -81,11 +81,107 @@ def gather_concat(real_u8, real_labels, synth_u8, synth_labels, idx,
     return imgs, labels
 
 
+def _microbatch_grads(model, state, imgs, labels, mask, k: int,
+                      batch_sharding):
+    """Gradient accumulation over ``k`` microbatches in one program.
+
+    A lax.scan walks (k, B/k, ...) slices of the assembled batch: each
+    iteration runs forward+backward on ONE microbatch (so only its
+    activations are live — ~k× less activation memory than the fused
+    full-batch backward), accumulates the gradient of the valid-row
+    loss SUM, and advances BN running statistics sequentially. After
+    the scan the summed gradient is divided by the full batch's valid
+    count, yielding the same valid-row-weighted loss mean the K=1 path
+    differentiates. This is torch gradient-accumulation semantics
+    (loss.backward() per microbatch, one optimizer.step()): BN batch
+    statistics are per-microbatch, not full-batch.
+
+    Returns (per-sample losses (B,), logits (B,C), new_batch_stats,
+    grads). Raises if k does not divide the batch.
+    """
+    B = imgs.shape[0]
+    if B % k:
+        raise ValueError(f"grad_accum={k} must divide batch size {B}")
+    mb = B // k
+
+    def split(x):
+        return x.reshape((k, mb) + x.shape[1:])
+
+    imgs_k, labels_k = split(imgs), split(labels)
+    mask_k = None if mask is None else split(mask)
+    if batch_sharding is not None:
+        # keep each microbatch row-sharded over the data axis: the
+        # leading scan axis is unsharded, rows shard as before
+        from jax.sharding import NamedSharding, PartitionSpec
+        imgs_k = jax.lax.with_sharding_constraint(
+            imgs_k, NamedSharding(batch_sharding.mesh,
+                                  PartitionSpec(None,
+                                                *batch_sharding.spec)))
+
+    def micro(carry, xs):
+        stats, gsum = carry
+        if mask_k is None:
+            imgs_mb, labels_mb = xs
+            mask_mb = None
+            mkw = {}
+        else:
+            imgs_mb, labels_mb, mask_mb = xs
+            mkw = {"mask": mask_mb}
+
+        def loss_fn(params):
+            logits, upd = model.apply(
+                {"params": params, "batch_stats": stats}, imgs_mb,
+                train=True, mutable=["batch_stats"], **mkw)
+            losses = softmax_ce(logits, labels_mb)
+            if mask_mb is None:
+                wsum = jnp.sum(losses)
+            else:
+                # where-guard: a FULLY-padded microbatch (tail batch
+                # shorter than (k-1) microbatches) can carry NaN
+                # per-sample losses; select-then-sum keeps the forward
+                # AND the cotangent clean (jnp.where backward routes 0
+                # to the untaken branch)
+                wsum = jnp.sum(jnp.where(
+                    mask_mb > 0,
+                    losses * mask_mb.astype(jnp.float32), 0.0))
+            return wsum, (losses, logits, upd["batch_stats"])
+
+        (_, (losses, logits, new_stats)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if mask_mb is not None:
+            # A FULLY-padded microbatch must contribute nothing: its
+            # masked BN statistics are the 0-mean/0-var placeholder,
+            # whose scale/sqrt(eps) amplification overflows through
+            # depth to NaN logits — and a zero COTANGENT does not kill
+            # a NaN jacobian (0*NaN=NaN), so its gradient is
+            # NaN-poisoned no matter how the loss masks it. Freeze the
+            # running stats and select-zero the gradient (jnp.where is
+            # a select: NaN in the untaken branch is discarded).
+            ok = jnp.sum(mask_mb) > 0
+            new_stats = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new_stats, stats)
+            g = jax.tree_util.tree_map(
+                lambda t: jnp.where(ok, t, jnp.zeros_like(t)), g)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+        return (new_stats, gsum), (losses, logits)
+
+    xs = ((imgs_k, labels_k) if mask_k is None
+          else (imgs_k, labels_k, mask_k))
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    (new_stats, gsum), (losses_k, logits_k) = jax.lax.scan(
+        micro, (state.batch_stats, zeros), xs)
+    total_w = (jnp.float32(B) if mask is None
+               else jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1e-9))
+    grads = jax.tree_util.tree_map(lambda g: g / total_w, gsum)
+    return (losses_k.reshape(B),
+            logits_k.reshape((B,) + logits_k.shape[2:]), new_stats, grads)
+
+
 def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
                     batch_sharding=None, use_pallas_gather: bool = False,
                     jit_compile: bool = True, pooled_synth: bool = False,
                     pallas_interpret: bool = False, real_take=None,
-                    synth_take=None, n_real=None):
+                    synth_take=None, n_real=None, grad_accum: int = 1):
     """mode: 'real' | 'concat' | 'mix'.
 
     step(state, real_u8, real_labels, synth_u8, synth_labels, idx, ratio,
@@ -101,6 +197,17 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
     from the pool, whose VALUES index the synthetic store. This is the
     reference's empty-synthetic-dir fallback (data_loader.py:527-536)
     with the store aliased to the real store — no image copies.
+    ``grad_accum`` K>1: the batch is processed as K sequential
+    microbatches inside one program (lax.scan) — gradients accumulate
+    and one optimizer update fires, so only ONE microbatch's
+    activations are live at a time (~K× activation-memory reduction;
+    the real max-effective-batch lever where --remat measured none).
+    Semantics are torch gradient accumulation: BN batch statistics are
+    per-microbatch and running stats update sequentially, the gradient
+    is the valid-row-weighted mean over the FULL batch. Exactly equal
+    to the full-batch step for BN-free models; for BN models it equals
+    the sequential small-batch reference computation (pinned in
+    tests/test_grad_accum.py).
     """
     def assemble(real_u8, real_labels, synth_u8, synth_labels, synth_pool,
                  idx, ratio, key):
@@ -157,16 +264,21 @@ def make_train_step(model, tx, *, mode: str, dtype=jnp.float32,
         # custom backbones) keep working on the unmasked path
         mkw = {} if mask is None else {"mask": mask}
 
-        def loss_fn(params):
-            logits, upd = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                imgs, train=True, mutable=["batch_stats"], **mkw)
-            losses = softmax_ce(logits, labels)
-            return weighted_mean(losses, mask), (losses, logits,
-                                                 upd["batch_stats"])
+        if grad_accum == 1:
+            def loss_fn(params):
+                logits, upd = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    imgs, train=True, mutable=["batch_stats"], **mkw)
+                losses = softmax_ce(logits, labels)
+                return weighted_mean(losses, mask), (losses, logits,
+                                                     upd["batch_stats"])
 
-        (_, (losses, logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            (_, (losses, logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        else:
+            losses, logits, new_stats, grads = _microbatch_grads(
+                model, state, imgs, labels, mask, grad_accum,
+                batch_sharding)
         new_state = apply_updates(tx, state, grads, new_stats)
         if mask is not None:
             # A fully-padded batch (parallel folds in lockstep: a short

@@ -229,13 +229,20 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
                   and not real_dev.sharded)
     n_real = len(real_dev)  # LOGICAL length: a sharded store is padded,
     # so the steps must not read the real/synth boundary off .shape[0]
+    ga = int(getattr(args, "grad_accum", 1) or 1)
+    if ga > 1 and mesh_ctx.pad_batch(args.batch_size) % ga:
+        print(f"Note: --grad-accum {ga} does not divide the "
+              f"(device-padded) batch size "
+              f"{mesh_ctx.pad_batch(args.batch_size)}; running without "
+              "accumulation.")
+        ga = 1
     train_step = make_train_step(model, tx, mode=mode, dtype=dtype,
                                  batch_sharding=bsh,
                                  use_pallas_gather=use_pallas,
                                  pooled_synth=synth_pool is not None,
                                  real_take=real_dev.take,
                                  synth_take=synth_dev.take,
-                                 n_real=n_real)
+                                 n_real=n_real, grad_accum=ga)
     # eval gathers from THIS run's val store (real folds or the test
     # store) — its take closure carries that store's shard geometry
     eval_step = make_eval_step(model, dtype=dtype, batch_sharding=bsh,
@@ -477,6 +484,13 @@ def train_classifier(args):
         # multistep_dispatch_ab); the flag is a GAN-trainer optimization.
         print("Note: --steps-per-call applies to the GAN trainers; "
               "ignored for classifier training.")
+    if (int(getattr(args, "grad_accum", 1) or 1) > 1
+            and getattr(args, "parallel_folds", False)):
+        # the lockstep fold program vmaps the raw step; keep the two
+        # schedule transforms separate rather than ship an untested
+        # vmap-of-scan composition
+        print("Note: --grad-accum is ignored with --parallel-folds.")
+        args.grad_accum = 1
     shard_store = getattr(args, "shard_store", False)
     if shard_store and getattr(args, "parallel_folds", False):
         # parallel folds owns a different ('fold','data') mesh and its

@@ -7,6 +7,7 @@ checkpoints, history JSON (reference schema) and the loss figure.
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import jax
@@ -140,7 +141,8 @@ def train_dcgan(args):
 
     data_rng = np.random.default_rng(args.seed)
     snap_mgr = SnapshotManager(
-        os.path.join(gan_model_dir, "snapshot_last.msgpack"), mesh_ctx)
+        os.path.join(gan_model_dir, "snapshot_last.msgpack"), mesh_ctx,
+        async_io=True)  # overlap D2H+write with the next epoch's compute
     try:
         states, start_epoch, iters = snap_mgr.try_resume(
             getattr(args, "resume_from", ""),
@@ -156,93 +158,102 @@ def train_dcgan(args):
     start_time = time.time()
     print("Starting Training Loop...")
 
-    for epoch in range(start_epoch, args.epochs):
-        epoch_start = time.time()
-        batches = epoch_batches(len(store), batch_size, data_rng)
-        if args.limit_batches:
-            batches = batches[:args.limit_batches]
-        num_batches = batches.shape[0]
-        t_mask = batch_tail_mask(len(store), num_batches, batch_size)
-        chunkable = num_batches - (1 if t_mask is not None else 0)
-        epoch_metrics = []
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            epoch_start = time.time()
+            batches = epoch_batches(len(store), batch_size, data_rng)
+            if args.limit_batches:
+                batches = batches[:args.limit_batches]
+            num_batches = batches.shape[0]
+            t_mask = batch_tail_mask(len(store), num_batches, batch_size)
+            chunkable = num_batches - (1 if t_mask is not None else 0)
+            epoch_metrics = []
 
-        # Optional XLA profiler capture (first post-compile epoch, or the
-        # only epoch on 1-epoch runs); the with-block finalizes the trace
-        # even if a dispatch raises mid-epoch.
-        trace_dir = getattr(args, "trace_dir", "")  # match the other loops
-        with maybe_trace(
-                trace_dir
-                if (trace_dir
-                    and epoch == trace_epoch(start_epoch, args.epochs))
-                else None), \
-                EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
-                              num_batches,
-                              postfix_fn=gan_live_postfix) as progress:
-            i = 0
-            while i < num_batches:
-                chunk = (k_steps if (multi_fn is not None
-                                     and i + k_steps <= chunkable) else 1)
-                if chunk > 1:
-                    g_state, d_state, metrics = multi_fn(
-                        g_state, d_state, device_store.images,
-                        jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
-                        k_data)
-                else:
-                    is_tail = (t_mask is not None
-                               and i == num_batches - 1)
-                    g_state, d_state, metrics = step_fn(
-                        g_state, d_state, device_store.images,
-                        jnp.asarray(batches[i]),
-                        jax.random.fold_in(k_data, iters),
-                        mask=jnp.asarray(t_mask) if is_tail else None)
-                epoch_metrics.append(metrics)
+            # Optional XLA profiler capture (first post-compile epoch, or the
+            # only epoch on 1-epoch runs); the with-block finalizes the trace
+            # even if a dispatch raises mid-epoch.
+            trace_dir = getattr(args, "trace_dir", "")  # match the other loops
+            with maybe_trace(
+                    trace_dir
+                    if (trace_dir
+                        and epoch == trace_epoch(start_epoch, args.epochs))
+                    else None), \
+                    EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
+                                  num_batches,
+                                  postfix_fn=gan_live_postfix) as progress:
+                i = 0
+                while i < num_batches:
+                    chunk = (k_steps if (multi_fn is not None
+                                         and i + k_steps <= chunkable) else 1)
+                    if chunk > 1:
+                        g_state, d_state, metrics = multi_fn(
+                            g_state, d_state, device_store.images,
+                            jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
+                            k_data)
+                    else:
+                        is_tail = (t_mask is not None
+                                   and i == num_batches - 1)
+                        g_state, d_state, metrics = step_fn(
+                            g_state, d_state, device_store.images,
+                            jnp.asarray(batches[i]),
+                            jax.random.fold_in(k_data, iters),
+                            mask=jnp.asarray(t_mask) if is_tail else None)
+                    epoch_metrics.append(metrics)
 
-                for t in grid_iters(iters, chunk, args.save_interval,
-                                    epoch == args.epochs - 1, i,
-                                    num_batches):
-                    sample_grid(os.path.join(
-                        gan_output_dir,
-                        f"fake_samples_epoch_{epoch + 1:03d}_"
-                        f"iter_{t:06d}.png"))
-                iters += chunk
-                i += chunk
-                progress.update(i, metrics)
+                    for t in grid_iters(iters, chunk, args.save_interval,
+                                        epoch == args.epochs - 1, i,
+                                        num_batches):
+                        sample_grid(os.path.join(
+                            gan_output_dir,
+                            f"fake_samples_epoch_{epoch + 1:03d}_"
+                            f"iter_{t:06d}.png"))
+                    iters += chunk
+                    i += chunk
+                    progress.update(i, metrics)
 
-            # One device->host sync per epoch for all per-iter metrics.
-            em = np.asarray(jax.device_get(jnp.concatenate(
-                [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
-        timer.tick(num_batches)
-        history["G_losses_iter"].extend(em[:, 0].tolist())
-        history["D_losses_iter"].extend(em[:, 1].tolist())
-        history["D_x_iter"].extend(em[:, 2].tolist())
-        history["D_G_z1_iter"].extend(em[:, 3].tolist())
-        history["D_G_z2_iter"].extend(em[:, 4].tolist())
-        history["G_losses_epoch"].append(float(em[:, 0].mean()))
-        history["D_losses_epoch"].append(float(em[:, 1].mean()))
+                # One device->host sync per epoch for all per-iter metrics.
+                em = np.asarray(jax.device_get(jnp.concatenate(
+                    [jnp.atleast_2d(m) for m in epoch_metrics], axis=0)))
+            timer.tick(num_batches)
+            history["G_losses_iter"].extend(em[:, 0].tolist())
+            history["D_losses_iter"].extend(em[:, 1].tolist())
+            history["D_x_iter"].extend(em[:, 2].tolist())
+            history["D_G_z1_iter"].extend(em[:, 3].tolist())
+            history["D_G_z2_iter"].extend(em[:, 4].tolist())
+            history["G_losses_epoch"].append(float(em[:, 0].mean()))
+            history["D_losses_epoch"].append(float(em[:, 1].mean()))
 
-        print(f"Epoch {epoch + 1}/{args.epochs} Summary - "
-              f"Time: {time.time() - epoch_start:.2f}s, "
-              f"Avg Loss_D: {em[:, 1].mean():.4f}, "
-              f"Avg Loss_G: {em[:, 0].mean():.4f}, "
-              f"{timer.rate * batch_size:.1f} imgs/s")
+            print(f"Epoch {epoch + 1}/{args.epochs} Summary - "
+                  f"Time: {time.time() - epoch_start:.2f}s, "
+                  f"Avg Loss_D: {em[:, 1].mean():.4f}, "
+                  f"Avg Loss_G: {em[:, 0].mean():.4f}, "
+                  f"{timer.rate * batch_size:.1f} imgs/s")
 
-        if ((epoch + 1) % args.checkpoint_interval == 0
-                or (epoch + 1) == args.epochs):
-            save_variables(os.path.join(
-                gan_model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
-                g_state.variables())
-            save_variables(os.path.join(
-                gan_model_dir,
-                f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
-                d_state.variables())
-            snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
-            # history persists WITH the snapshot: a crash between here
-            # and run end must not lose these epochs from the merged
-            # history a resumed run writes (resume_history contract)
-            write_json(history_path, history)
-            print(f"Saved checkpoints for epoch {epoch + 1} "
-                  f"to {gan_model_dir}")
+            if ((epoch + 1) % args.checkpoint_interval == 0
+                    or (epoch + 1) == args.epochs):
+                snap_mgr.save_file(os.path.join(
+                    gan_model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
+                    g_state.variables())
+                snap_mgr.save_file(os.path.join(
+                    gan_model_dir,
+                    f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
+                    d_state.variables())
+                snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
+                # history persists WITH the snapshot: the shared FIFO
+                # writer lands it AFTER the snapshot even in async mode,
+                # so a crash never leaves history ahead of the snapshot
+                # (resume_history contract)
+                snap_mgr.save_json(history_path, history)
+                print(f"Saved checkpoints for epoch {epoch + 1} "
+                      f"to {gan_model_dir}")
 
+    finally:
+        # Land queued async writes on EVERY exit path: normally before
+        # the final saves below; on a crash so bytes for snapshots the
+        # loop already reported saved aren't lost with the daemon
+        # writer thread. Worker errors re-raise only on the clean path
+        # (they must not mask an in-flight exception).
+        snap_mgr.flush(reraise=sys.exc_info()[0] is None)
     print(f"Training finished in {time.time() - start_time:.2f} seconds.")
     save_variables(os.path.join(gan_model_dir, "generator_final.msgpack"),
                    g_state.variables())

@@ -7,6 +7,7 @@ G_losses_epoch — train_wggan.py:57) and wgan_loss_curve.png.
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import jax
@@ -106,7 +107,8 @@ def train_wgan(args):
                "G_losses_epoch": []}
     data_rng = np.random.default_rng(args.seed)
     snap_mgr = SnapshotManager(
-        os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx)
+        os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx,
+        async_io=True)  # overlap D2H+write with the next epoch
     try:
         states, start_epoch, iters = snap_mgr.try_resume(
             getattr(args, "resume_from", ""),
@@ -120,85 +122,93 @@ def train_wgan(args):
     history = resume_history(history_path, history, start_epoch)
     timer = StepTimer()
 
-    for epoch in range(start_epoch, args.epochs):
-        t0 = time.time()
-        batches = epoch_batches(len(store), batch_size, data_rng)
-        if args.limit_batches:
-            batches = batches[:args.limit_batches]
-        num_batches = batches.shape[0]
-        t_mask = batch_tail_mask(len(store), num_batches, batch_size)
-        chunkable = num_batches - (1 if t_mask is not None else 0)
-        d_acc, g_acc = [], []
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            t0 = time.time()
+            batches = epoch_batches(len(store), batch_size, data_rng)
+            if args.limit_batches:
+                batches = batches[:args.limit_batches]
+            num_batches = batches.shape[0]
+            t_mask = batch_tail_mask(len(store), num_batches, batch_size)
+            chunkable = num_batches - (1 if t_mask is not None else 0)
+            d_acc, g_acc = [], []
 
-        # Optional XLA profiler capture (first post-compile epoch, or the
-        # only epoch on 1-epoch runs); exception-safe via the with-block.
-        with maybe_trace(
-                getattr(args, "trace_dir", "")
-                if (getattr(args, "trace_dir", "")
-                    and epoch == trace_epoch(start_epoch, args.epochs))
-                else None), \
-                EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
-                              num_batches,
-                              postfix_fn=wgan_live_postfix) as progress:
-            i = 0
-            while i < num_batches:
-                chunk = (k_steps if (multi_fn is not None
-                                     and i + k_steps <= chunkable) else 1)
-                if chunk > 1:
-                    g_state, c_state, d_losses, g_loss = multi_fn(
-                        g_state, c_state, device_store.images,
-                        jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
-                        k_data)
-                else:
-                    is_tail = (t_mask is not None
-                               and i == num_batches - 1)
-                    g_state, c_state, d_losses, g_loss = step_fn(
-                        g_state, c_state, device_store.images,
-                        jnp.asarray(batches[i]),
-                        jax.random.fold_in(k_data, iters),
-                        mask=jnp.asarray(t_mask) if is_tail else None)
-                d_acc.append(d_losses)
-                g_acc.append(g_loss)
+            # Optional XLA profiler capture (first post-compile epoch, or the
+            # only epoch on 1-epoch runs); exception-safe via the with-block.
+            with maybe_trace(
+                    getattr(args, "trace_dir", "")
+                    if (getattr(args, "trace_dir", "")
+                        and epoch == trace_epoch(start_epoch, args.epochs))
+                    else None), \
+                    EpochProgress(f"Epoch {epoch + 1}/{args.epochs}",
+                                  num_batches,
+                                  postfix_fn=wgan_live_postfix) as progress:
+                i = 0
+                while i < num_batches:
+                    chunk = (k_steps if (multi_fn is not None
+                                         and i + k_steps <= chunkable) else 1)
+                    if chunk > 1:
+                        g_state, c_state, d_losses, g_loss = multi_fn(
+                            g_state, c_state, device_store.images,
+                            jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
+                            k_data)
+                    else:
+                        is_tail = (t_mask is not None
+                                   and i == num_batches - 1)
+                        g_state, c_state, d_losses, g_loss = step_fn(
+                            g_state, c_state, device_store.images,
+                            jnp.asarray(batches[i]),
+                            jax.random.fold_in(k_data, iters),
+                            mask=jnp.asarray(t_mask) if is_tail else None)
+                    d_acc.append(d_losses)
+                    g_acc.append(g_loss)
 
-                for t in grid_iters(iters, chunk, args.save_interval,
-                                    epoch == args.epochs - 1, i,
-                                    num_batches):
-                    sample_grid(os.path.join(
-                        image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
-                                   f"iter_{t:06d}.png"))
-                iters += chunk
-                i += chunk
-                progress.update(i, d_losses)
+                    for t in grid_iters(iters, chunk, args.save_interval,
+                                        epoch == args.epochs - 1, i,
+                                        num_batches):
+                        sample_grid(os.path.join(
+                            image_dir, f"fake_samples_epoch_{epoch + 1:03d}_"
+                                       f"iter_{t:06d}.png"))
+                    iters += chunk
+                    i += chunk
+                    progress.update(i, d_losses)
 
-            # (critic_iters,) per single step, (K, critic_iters) per
-            # chunk; flatten in iteration order either way.
-            d_ep = np.concatenate([np.asarray(x).reshape(-1)
-                                   for x in jax.device_get(d_acc)])
-            g_ep = np.concatenate([np.atleast_1d(np.asarray(x))
-                                   for x in jax.device_get(g_acc)])
-        timer.tick(num_batches)
-        history["D_losses"].extend(d_ep.tolist())
-        history["G_losses"].extend(g_ep.tolist())
-        history["D_losses_epoch"].append(float(d_ep.mean()))
-        history["G_losses_epoch"].append(float(g_ep.mean()))
-        print(f"Epoch {epoch + 1}/{args.epochs} Summary - "
-              f"Time: {time.time() - t0:.2f}s, "
-              f"Avg Loss_D: {d_ep.mean():.4f}, "
-              f"Avg Loss_G: {g_ep.mean():.4f}, "
-              f"{timer.rate * batch_size:.1f} imgs/s")
+                # (critic_iters,) per single step, (K, critic_iters) per
+                # chunk; flatten in iteration order either way.
+                d_ep = np.concatenate([np.asarray(x).reshape(-1)
+                                       for x in jax.device_get(d_acc)])
+                g_ep = np.concatenate([np.atleast_1d(np.asarray(x))
+                                       for x in jax.device_get(g_acc)])
+            timer.tick(num_batches)
+            history["D_losses"].extend(d_ep.tolist())
+            history["G_losses"].extend(g_ep.tolist())
+            history["D_losses_epoch"].append(float(d_ep.mean()))
+            history["G_losses_epoch"].append(float(g_ep.mean()))
+            print(f"Epoch {epoch + 1}/{args.epochs} Summary - "
+                  f"Time: {time.time() - t0:.2f}s, "
+                  f"Avg Loss_D: {d_ep.mean():.4f}, "
+                  f"Avg Loss_G: {g_ep.mean():.4f}, "
+                  f"{timer.rate * batch_size:.1f} imgs/s")
 
-        if ((epoch + 1) % args.checkpoint_interval == 0
-                or (epoch + 1) == args.epochs):
-            save_variables(os.path.join(
-                model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
-                g_state.variables())
-            save_variables(os.path.join(
-                model_dir, f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
-                c_state.variables())
-            snap_mgr.save({"g": g_state, "c": c_state}, epoch + 1, iters)
-            # history persists with the snapshot (see gan_loop.py)
-            write_json(history_path, history)
+            if ((epoch + 1) % args.checkpoint_interval == 0
+                    or (epoch + 1) == args.epochs):
+                snap_mgr.save_file(os.path.join(
+                    model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
+                    g_state.variables())
+                snap_mgr.save_file(os.path.join(
+                    model_dir, f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
+                    c_state.variables())
+                snap_mgr.save({"g": g_state, "c": c_state}, epoch + 1, iters)
+                # history persists with the snapshot (see gan_loop.py)
+                snap_mgr.save_json(history_path, history)
 
+    finally:
+        # Land queued async writes on EVERY exit path: normally before
+        # the final saves below; on a crash so bytes for snapshots the
+        # loop already reported saved aren't lost with the daemon
+        # writer thread. Worker errors re-raise only on the clean path
+        # (they must not mask an in-flight exception).
+        snap_mgr.flush(reraise=sys.exc_info()[0] is None)
     save_variables(os.path.join(model_dir, "generator_final.msgpack"),
                    g_state.variables())
     save_variables(os.path.join(model_dir, "discriminator_final.msgpack"),
