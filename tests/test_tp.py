@@ -192,3 +192,47 @@ def test_tp_dcgan_step_matches_single_device():
                     jax.tree_util.tree_leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=3e-3)
+
+
+def test_resume_replacement_restores_tp_sharding(tmp_path):
+    """try_resume hands back REPLICATED states (snapshot.py restores via
+    mesh_ctx.replicate — it cannot know the run's placement rule), so the
+    trainer loops re-apply shard_over_model/shard_opt_state after resume.
+    This pins both halves: the hazard (resumed state IS replicated) and
+    the fix (re-placement restores the exact TP layout and values)."""
+    from xgan.models import dcgan
+    from xgan.train.common import adam, create_state
+    from xgan.train.snapshot import SnapshotManager
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 emulated devices")
+    mesh_ctx = create_mesh(devices=devs[:8], model_parallel=2)
+    g_model = dcgan.Generator(latent_dim=8, feature_maps=32, image_size=32)
+    g_tx = adam(2e-4, 0.5)
+    g_state = shard_over_model(
+        mesh_ctx,
+        create_state(g_model, g_tx, jax.random.key(0), jnp.zeros((2, 8)),
+                     train=False),
+        min_features=MIN_F)
+
+    def wide_kernel(st):
+        # ConvTranspose_0: (1, 1, latent, 8*fm) — O=256 >= MIN_F, sharded
+        return st.params["ConvTranspose_0"]["kernel"]
+
+    w = wide_kernel(g_state)
+    assert w.addressable_shards[0].data.shape[3] == w.shape[3] // 2
+
+    mgr = SnapshotManager(str(tmp_path / "snap.msgpack"), mesh_ctx)
+    mgr.save({"g": g_state}, epoch=1, iters=10)
+    out, _, _ = mgr.try_resume("auto", {"g": g_state})
+
+    # the hazard: restored state is replicated
+    w_resumed = wide_kernel(out["g"])
+    assert w_resumed.addressable_shards[0].data.shape[3] == w.shape[3]
+
+    # the fix the loops apply: re-placement restores layout and values
+    replaced = shard_over_model(mesh_ctx, out["g"], min_features=MIN_F)
+    w_again = wide_kernel(replaced)
+    assert w_again.addressable_shards[0].data.shape[3] == w.shape[3] // 2
+    np.testing.assert_array_equal(np.asarray(w_again), np.asarray(w))

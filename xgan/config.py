@@ -78,6 +78,14 @@ def add_gan_train_args(p: argparse.ArgumentParser, *, epochs: int,
     p.add_argument("--save-interval", type=int, default=save_interval)
     p.add_argument("--checkpoint-interval", type=int,
                    default=checkpoint_interval)
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="Keep an exponential moving average of the "
+                        "generator weights (e.g. 0.999) and save it as "
+                        "generator_ema_final.msgpack/.pth next to the "
+                        "raw finals — the standard GAN sample-quality "
+                        "lever; the lerp fuses into the jitted step. "
+                        "0 disables (default; training math is "
+                        "identical either way)")
 
 
 def add_tpu_args(p: argparse.ArgumentParser):

@@ -27,6 +27,7 @@ from xgan.data.pipeline import gather_preprocess
 from xgan.models.vgg import perceptual_loss
 from xgan.ops.reduce import layerwise_mse
 from xgan.train.common import ModelState, apply_updates, weighted_mean
+from xgan.train.ema import ema_update
 
 PERCEPTUAL_WEIGHT = 10.0
 FM_WEIGHT = 5.0
@@ -47,7 +48,8 @@ def feature_matching_loss(real_feats, fake_feats, weights=None):
 def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
                    latent_dim: int, dtype=jnp.float32,
                    batch_sharding=None, donate: bool = True,
-                   steps_per_call: int = 1, store_take=None):
+                   steps_per_call: int = 1, store_take=None,
+                   ema_decay=None):
     """Returns jitted step(g_state, d_state, vgg_params, images_u8,
     labels_all, idx, epoch, key) -> (g_state, d_state, metrics[7]) with
     metrics = [loss_G, loss_D, D_x, D_G_z1, D_G_z2, perceptual, fm].
@@ -57,7 +59,10 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
     idx_chunk[K, B], epoch, iters0, key) ->
     (g_state, d_state, metrics[K, 7])`` with per-step keys
     ``fold_in(key, iters0 + t)`` — the identical PRNG stream of the K=1
-    epoch loop (see make_dcgan_step)."""
+    epoch loop (see make_dcgan_step).
+
+    With ``ema_decay`` set, both forms take/return the generator-EMA
+    tree as the third argument/output (see xgan.train.ema)."""
 
     def step(g_state: ModelState, d_state: ModelState, vgg_params,
              images_u8, labels_all, idx, epoch, key, mask=None):
@@ -148,22 +153,47 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
                              perc, fm])
         return g_state, d_state, metrics
 
-    donate_args = (0, 1) if donate else ()
+    donate_args = (() if not donate
+                   else (0, 1, 2) if ema_decay is not None else (0, 1))
     if steps_per_call <= 1:
-        return jax.jit(step, donate_argnums=donate_args)
+        if ema_decay is None:
+            return jax.jit(step, donate_argnums=donate_args)
 
-    def multi(g_state, d_state, vgg_params, images_u8, labels_all,
-              idx_chunk, epoch, iters0, key):
-        def body(carry, xs):
-            idx, t = xs
-            g, d, m = step(carry[0], carry[1], vgg_params, images_u8,
-                           labels_all, idx, epoch,
-                           jax.random.fold_in(key, t))
-            return (g, d), m
+        def step_ema(g_state, d_state, ema, vgg_params, images_u8,
+                     labels_all, idx, epoch, key, mask=None):
+            g, d, m = step(g_state, d_state, vgg_params, images_u8,
+                           labels_all, idx, epoch, key, mask)
+            return g, d, ema_update(ema, g.params, ema_decay), m
 
-        (g_state, d_state), metrics = jax.lax.scan(
-            body, (g_state, d_state),
-            (idx_chunk, iters0 + jnp.arange(steps_per_call)))
-        return g_state, d_state, metrics
+        return jax.jit(step_ema, donate_argnums=donate_args)
+
+    if ema_decay is None:
+        def multi(g_state, d_state, vgg_params, images_u8, labels_all,
+                  idx_chunk, epoch, iters0, key):
+            def body(carry, xs):
+                idx, t = xs
+                g, d, m = step(carry[0], carry[1], vgg_params, images_u8,
+                               labels_all, idx, epoch,
+                               jax.random.fold_in(key, t))
+                return (g, d), m
+
+            (g_state, d_state), metrics = jax.lax.scan(
+                body, (g_state, d_state),
+                (idx_chunk, iters0 + jnp.arange(steps_per_call)))
+            return g_state, d_state, metrics
+    else:
+        def multi(g_state, d_state, ema, vgg_params, images_u8, labels_all,
+                  idx_chunk, epoch, iters0, key):
+            def body(carry, xs):
+                idx, t = xs
+                g, d, m = step(carry[0], carry[1], vgg_params, images_u8,
+                               labels_all, idx, epoch,
+                               jax.random.fold_in(key, t))
+                return (g, d, ema_update(carry[2], g.params, ema_decay)), m
+
+            (g_state, d_state, ema), metrics = jax.lax.scan(
+                body, (g_state, d_state, ema),
+                (idx_chunk, iters0 + jnp.arange(steps_per_call)))
+            return g_state, d_state, ema, metrics
 
     return jax.jit(multi, donate_argnums=donate_args)

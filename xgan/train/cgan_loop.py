@@ -36,9 +36,11 @@ from xgan.parallel.tp import (model_parallel_from_args, shard_opt_state,
                               shard_over_model)
 from xgan.train.cgan import make_cgan_step
 from xgan.train.common import adam, create_state
+from xgan.train.ema import dispatch_with_ema, init_ema
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import batch_tail_mask, gan_live_postfix, \
     grid_iters, EpochProgress, export_generator_pth, replay_data_rng, \
+    save_ema_final, \
     resume_history, resume_preflight, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
@@ -138,9 +140,14 @@ def train_cgan(args):
         d_state = shard_opt_state(mesh_ctx, d_state)
     vgg_params = mesh_ctx.replicate(vgg_params)
 
+    # --ema-decay: generator-weight EMA fused into the step
+    # (write-only inside it; see xgan/train/ema.py)
+    ema_decay = float(getattr(args, "ema_decay", 0.0) or 0.0)
+    ema = init_ema(g_state.params) if ema_decay > 0 else None
     step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,
                        batch_sharding=mesh_ctx.batch_sharding(4),
-                       store_take=device_store.take)
+                       store_take=device_store.take,
+                       ema_decay=ema_decay if ema is not None else None)
     step_fn = make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx,
                              **step_kwargs)
     # K>1: K steps per dispatch; epoch tails use the single-step program.
@@ -170,14 +177,25 @@ def train_cgan(args):
     snap_mgr = SnapshotManager(
         os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx,
         async_io=True)  # overlap D2H+write with the next epoch
+    snap_template = {"g": g_state, "d": d_state}
+    if ema is not None:  # EMA resumes with the run
+        snap_template["ema"] = ema
     try:
         states, start_epoch, iters = snap_mgr.try_resume(
-            getattr(args, "resume_from", ""),
-            {"g": g_state, "d": d_state})
+            getattr(args, "resume_from", ""), snap_template)
     except (FileNotFoundError, ValueError) as e:
         print(f"Error: {e}")
         return None
     g_state, d_state = states["g"], states["d"]
+    ema = states.get("ema", ema)
+    # re-apply TP/ZeRO-1 placement after resume (see gan_loop.py)
+    g_state = shard_over_model(mesh_ctx, g_state)
+    d_state = shard_over_model(mesh_ctx, d_state)
+    if getattr(args, "shard_opt_state", False):
+        g_state = shard_opt_state(mesh_ctx, g_state)
+        d_state = shard_opt_state(mesh_ctx, d_state)
+    if ema is not None:
+        ema = shard_over_model(mesh_ctx, ema)
     replay_data_rng(len(store), batch_size, data_rng, start_epoch)
     history_path = os.path.join(metrics_dir, "cgan_training_history.json")
     history = resume_history(history_path, history, start_epoch)
@@ -210,17 +228,18 @@ def train_cgan(args):
                     chunk = (k_steps if (multi_fn is not None
                                          and i + k_steps <= chunkable) else 1)
                     if chunk > 1:
-                        g_state, d_state, metrics = multi_fn(
-                            g_state, d_state, vgg_params, device_store.images,
-                            device_store.labels,
+                        g_state, d_state, ema, (metrics,) = dispatch_with_ema(
+                            multi_fn, g_state, d_state, ema, vgg_params,
+                            device_store.images, device_store.labels,
                             jnp.asarray(batches[i:i + chunk]),
                             jnp.int32(epoch), jnp.int32(iters), k_data)
                     else:
                         is_tail = (t_mask is not None
                                    and i == num_batches - 1)
-                        g_state, d_state, metrics = step_fn(
-                            g_state, d_state, vgg_params, device_store.images,
-                            device_store.labels, jnp.asarray(batches[i]),
+                        g_state, d_state, ema, (metrics,) = dispatch_with_ema(
+                            step_fn, g_state, d_state, ema, vgg_params,
+                            device_store.images, device_store.labels,
+                            jnp.asarray(batches[i]),
                             jnp.int32(epoch), jax.random.fold_in(k_data, iters),
                             mask=jnp.asarray(t_mask) if is_tail else None)
                     epoch_metrics.append(metrics)
@@ -263,7 +282,10 @@ def train_cgan(args):
                     model_dir,
                     f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
                     d_state.variables())
-                snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
+                snap = {"g": g_state, "d": d_state}
+                if ema is not None:
+                    snap["ema"] = ema
+                snap_mgr.save(snap, epoch + 1, iters)
                 # history persists with the snapshot (see gan_loop.py)
                 snap_mgr.save_json(history_path, history)
                 print(f"Saved checkpoints for epoch {epoch + 1} to {model_dir}")
@@ -281,6 +303,7 @@ def train_cgan(args):
     save_variables(os.path.join(model_dir, "discriminator_final.msgpack"),
                    d_state.variables())
     export_generator_pth(model_dir, "cgan", g_state)
+    save_ema_final(model_dir, "cgan", g_state, ema)
     print(f"Saved final models to {model_dir}")
 
     write_json(history_path, history)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from xgan.data.pipeline import gather_preprocess
 from xgan.train.common import ModelState, apply_updates, bce_with_logits, \
     weighted_mean
+from xgan.train.ema import ema_update
 
 REAL_LABEL = 0.9   # one-sided label smoothing (reference train_gan.py:92)
 FAKE_LABEL = 0.0
@@ -37,7 +38,7 @@ FAKE_LABEL = 0.0
 def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
                     dtype=jnp.float32, batch_sharding=None,
                     donate: bool = True, steps_per_call: int = 1,
-                    store_take=None):
+                    store_take=None, ema_decay=None):
     """Returns jitted step(g_state, d_state, images_u8, idx, key) ->
     (g_state, d_state, metrics[5]) with metrics =
     [loss_G, loss_D, D_x, D_G_z1, D_G_z2].
@@ -48,7 +49,12 @@ def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
     (g_state, d_state, metrics[K, 5])`` — one dispatch for K training
     iterations. Per-step PRNG keys are ``fold_in(key, iters0 + t)``, the
     exact stream the K=1 epoch loop uses, so the two dispatch modes are
-    numerically identical (tests/test_multistep.py)."""
+    numerically identical (tests/test_multistep.py).
+
+    With ``ema_decay`` set, both forms take an EMA tree of G's params as
+    the THIRD argument and return its post-step update in the same slot
+    (see xgan.train.ema — the lerp fuses into the step; training math is
+    untouched because nothing reads the EMA tree)."""
 
     def step(g_state: ModelState, d_state: ModelState,
              images_u8, idx, key, mask=None):
@@ -114,20 +120,41 @@ def make_dcgan_step(g_model, d_model, g_tx, d_tx, *, latent_dim: int,
         metrics = jnp.stack([loss_g, loss_d, d_x, d_g_z1, d_g_z2])
         return g_state, d_state, metrics
 
-    donate_args = (0, 1) if donate else ()
+    donate_args = (() if not donate
+                   else (0, 1, 2) if ema_decay is not None else (0, 1))
     if steps_per_call <= 1:
-        return jax.jit(step, donate_argnums=donate_args)
+        if ema_decay is None:
+            return jax.jit(step, donate_argnums=donate_args)
 
-    def multi(g_state, d_state, images_u8, idx_chunk, iters0, key):
-        def body(carry, xs):
-            idx, t = xs
-            g, d, m = step(carry[0], carry[1], images_u8, idx,
-                           jax.random.fold_in(key, t))
-            return (g, d), m
+        def step_ema(g_state, d_state, ema, images_u8, idx, key, mask=None):
+            g, d, m = step(g_state, d_state, images_u8, idx, key, mask)
+            return g, d, ema_update(ema, g.params, ema_decay), m
 
-        (g_state, d_state), metrics = jax.lax.scan(
-            body, (g_state, d_state),
-            (idx_chunk, iters0 + jnp.arange(steps_per_call)))
-        return g_state, d_state, metrics
+        return jax.jit(step_ema, donate_argnums=donate_args)
+
+    if ema_decay is None:
+        def multi(g_state, d_state, images_u8, idx_chunk, iters0, key):
+            def body(carry, xs):
+                idx, t = xs
+                g, d, m = step(carry[0], carry[1], images_u8, idx,
+                               jax.random.fold_in(key, t))
+                return (g, d), m
+
+            (g_state, d_state), metrics = jax.lax.scan(
+                body, (g_state, d_state),
+                (idx_chunk, iters0 + jnp.arange(steps_per_call)))
+            return g_state, d_state, metrics
+    else:
+        def multi(g_state, d_state, ema, images_u8, idx_chunk, iters0, key):
+            def body(carry, xs):
+                idx, t = xs
+                g, d, m = step(carry[0], carry[1], images_u8, idx,
+                               jax.random.fold_in(key, t))
+                return (g, d, ema_update(carry[2], g.params, ema_decay)), m
+
+            (g_state, d_state, ema), metrics = jax.lax.scan(
+                body, (g_state, d_state, ema),
+                (idx_chunk, iters0 + jnp.arange(steps_per_call)))
+            return g_state, d_state, ema, metrics
 
     return jax.jit(multi, donate_argnums=donate_args)

@@ -25,10 +25,11 @@ from xgan.parallel import create_mesh
 from xgan.parallel.tp import (model_parallel_from_args, shard_opt_state,
                               shard_over_model)
 from xgan.train.common import adam, create_state
+from xgan.train.ema import dispatch_with_ema, init_ema
 from xgan.train.gan import make_dcgan_step
 from xgan.train.loop_common import batch_tail_mask, gan_live_postfix, \
     grid_iters, EpochProgress, export_generator_pth, replay_data_rng, \
-    resume_history, resume_preflight, trace_epoch
+    resume_history, resume_preflight, save_ema_final, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -112,9 +113,14 @@ def train_dcgan(args):
         d_state = shard_opt_state(mesh_ctx, d_state)
     print("Generator and Discriminator initialized.")
 
+    # --ema-decay: generator-weight EMA, fused into the step (write-only
+    # inside it, so training is untouched; see xgan/train/ema.py)
+    ema_decay = float(getattr(args, "ema_decay", 0.0) or 0.0)
+    ema = init_ema(g_state.params) if ema_decay > 0 else None
     step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,
                        batch_sharding=mesh_ctx.batch_sharding(4),
-                       store_take=device_store.take)
+                       store_take=device_store.take,
+                       ema_decay=ema_decay if ema is not None else None)
     step_fn = make_dcgan_step(g_model, d_model, g_tx, d_tx, **step_kwargs)
     # K>1: a second program that runs K steps per dispatch (lax.scan over
     # the same body, identical PRNG stream); the tail of an epoch that
@@ -143,14 +149,28 @@ def train_dcgan(args):
     snap_mgr = SnapshotManager(
         os.path.join(gan_model_dir, "snapshot_last.msgpack"), mesh_ctx,
         async_io=True)  # overlap D2H+write with the next epoch's compute
+    snap_template = {"g": g_state, "d": d_state}
+    if ema is not None:  # EMA resumes with the run (part of the snapshot)
+        snap_template["ema"] = ema
     try:
         states, start_epoch, iters = snap_mgr.try_resume(
-            getattr(args, "resume_from", ""),
-            {"g": g_state, "d": d_state})
+            getattr(args, "resume_from", ""), snap_template)
     except (FileNotFoundError, ValueError) as e:
         print(f"Error: {e}")
         return None
     g_state, d_state = states["g"], states["d"]
+    ema = states.get("ema", ema)
+    # try_resume hands back REPLICATED states; re-apply the run's
+    # parameter placement so a resumed --model-parallel/--shard-opt-state
+    # run keeps its TP/ZeRO-1 layout instead of silently degrading to
+    # replicated (no-op on the default replicated mesh).
+    g_state = shard_over_model(mesh_ctx, g_state)
+    d_state = shard_over_model(mesh_ctx, d_state)
+    if getattr(args, "shard_opt_state", False):
+        g_state = shard_opt_state(mesh_ctx, g_state)
+        d_state = shard_opt_state(mesh_ctx, d_state)
+    if ema is not None:
+        ema = shard_over_model(mesh_ctx, ema)
     replay_data_rng(len(store), batch_size, data_rng, start_epoch)
     history = resume_history(history_path, history, start_epoch)
 
@@ -186,16 +206,17 @@ def train_dcgan(args):
                     chunk = (k_steps if (multi_fn is not None
                                          and i + k_steps <= chunkable) else 1)
                     if chunk > 1:
-                        g_state, d_state, metrics = multi_fn(
-                            g_state, d_state, device_store.images,
+                        g_state, d_state, ema, (metrics,) = dispatch_with_ema(
+                            multi_fn, g_state, d_state, ema,
+                            device_store.images,
                             jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
                             k_data)
                     else:
                         is_tail = (t_mask is not None
                                    and i == num_batches - 1)
-                        g_state, d_state, metrics = step_fn(
-                            g_state, d_state, device_store.images,
-                            jnp.asarray(batches[i]),
+                        g_state, d_state, ema, (metrics,) = dispatch_with_ema(
+                            step_fn, g_state, d_state, ema,
+                            device_store.images, jnp.asarray(batches[i]),
                             jax.random.fold_in(k_data, iters),
                             mask=jnp.asarray(t_mask) if is_tail else None)
                     epoch_metrics.append(metrics)
@@ -238,7 +259,10 @@ def train_dcgan(args):
                     gan_model_dir,
                     f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
                     d_state.variables())
-                snap_mgr.save({"g": g_state, "d": d_state}, epoch + 1, iters)
+                snap = {"g": g_state, "d": d_state}
+                if ema is not None:
+                    snap["ema"] = ema
+                snap_mgr.save(snap, epoch + 1, iters)
                 # history persists WITH the snapshot: the shared FIFO
                 # writer lands it AFTER the snapshot even in async mode,
                 # so a crash never leaves history ahead of the snapshot
@@ -261,6 +285,7 @@ def train_dcgan(args):
                                 "discriminator_final.msgpack"),
                    d_state.variables())
     export_generator_pth(gan_model_dir, "dcgan", g_state)
+    save_ema_final(gan_model_dir, "dcgan", g_state, ema)
     print(f"Saved final models to {gan_model_dir}")
 
     write_json(history_path, history)

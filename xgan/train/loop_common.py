@@ -52,7 +52,8 @@ def grid_iters(iters: int, chunk: int, save_interval: int,
     return due[-1:]
 
 
-def export_generator_pth(model_dir: str, kind: str, g_state) -> None:
+def export_generator_pth(model_dir: str, kind: str, g_state,
+                         filename: str = "generator_final.pth") -> None:
     """Write a ``generator_final.pth`` twin of the msgpack final
     checkpoint in the torch state-dict layout the reference samplers load
     (reference generate_synthetic.py:23-32) — classifier checkpoints
@@ -62,7 +63,7 @@ def export_generator_pth(model_dir: str, kind: str, g_state) -> None:
     import jax
 
     from xgan.models.pretrained import GENERATOR_TORCH_CODECS
-    path = os.path.join(model_dir, "generator_final.pth")
+    path = os.path.join(model_dir, filename)
     try:
         host = jax.device_get(g_state.variables())
         GENERATOR_TORCH_CODECS[kind][1](path, host["params"],
@@ -70,6 +71,24 @@ def export_generator_pth(model_dir: str, kind: str, g_state) -> None:
         print(f"Saved torch generator twin to {path}")
     except Exception as e:  # noqa: BLE001 — never fail a finished run
         print(f"Warning: could not write {path}: {e}")
+
+
+def save_ema_final(model_dir: str, kind: str, g_state, ema) -> None:
+    """Persist the generator-weight EMA (``--ema-decay``) as a complete,
+    directly-samplable checkpoint pair: ``generator_ema_final.msgpack``
+    (EMA params + the live BN running stats — BN stats are already their
+    own moving average, so the raw generator's are the right companion)
+    and a ``.pth`` twin in the reference layout. No-op when EMA is off."""
+    if ema is None:
+        return
+    from xgan.io_.checkpoint import save_variables
+    ema_state = g_state.replace(params=ema)
+    save_variables(os.path.join(model_dir, "generator_ema_final.msgpack"),
+                   ema_state.variables())
+    export_generator_pth(model_dir, kind, ema_state,
+                         filename="generator_ema_final.pth")
+    print(f"Saved EMA generator to "
+          f"{os.path.join(model_dir, 'generator_ema_final.msgpack')}")
 
 
 def resume_preflight(args) -> bool:

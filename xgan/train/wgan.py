@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from xgan.data.pipeline import gather_preprocess
 from xgan.train.common import ModelState, apply_updates, weighted_mean
+from xgan.train.ema import ema_update
 
 
 def gradient_penalty(apply_fn, real, fake, key, lambda_gp: float = 10.0,
@@ -65,7 +66,7 @@ def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
                    critic_iters: int, lambda_gp: float,
                    dtype=jnp.float32, batch_sharding=None,
                    donate: bool = True, steps_per_call: int = 1,
-                   store_take=None):
+                   store_take=None, ema_decay=None):
     """Returns jitted step(g_state, c_state, images_u8, idx, key) ->
     (g_state, c_state, d_losses (critic_iters,), g_loss).
 
@@ -73,7 +74,10 @@ def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
     ``multi(g_state, c_state, images_u8, idx_chunk[K, B], iters0, key) ->
     (g_state, c_state, d_losses[K, critic_iters], g_losses[K])`` with
     per-step keys ``fold_in(key, iters0 + t)`` — the identical PRNG
-    stream of the K=1 epoch loop (see make_dcgan_step)."""
+    stream of the K=1 epoch loop (see make_dcgan_step).
+
+    With ``ema_decay`` set, both forms take/return the generator-EMA
+    tree as the third argument/output (see xgan.train.ema)."""
 
     def step(g_state: ModelState, c_state: ModelState, images_u8, idx,
              key, mask=None):
@@ -150,20 +154,46 @@ def make_wgan_step(g_model, c_model, g_tx, c_tx, *, latent_dim: int,
         c_state = c_state.replace(batch_stats=c_stats)
         return g_state, c_state, d_losses, g_loss
 
-    donate_args = (0, 1) if donate else ()
+    donate_args = (() if not donate
+                   else (0, 1, 2) if ema_decay is not None else (0, 1))
     if steps_per_call <= 1:
-        return jax.jit(step, donate_argnums=donate_args)
+        if ema_decay is None:
+            return jax.jit(step, donate_argnums=donate_args)
 
-    def multi(g_state, c_state, images_u8, idx_chunk, iters0, key):
-        def body(carry, xs):
-            idx, t = xs
-            g, c, d_losses, g_loss = step(carry[0], carry[1], images_u8,
-                                          idx, jax.random.fold_in(key, t))
-            return (g, c), (d_losses, g_loss)
+        def step_ema(g_state, c_state, ema, images_u8, idx, key, mask=None):
+            g, c, d_losses, g_loss = step(g_state, c_state, images_u8,
+                                          idx, key, mask)
+            return (g, c, ema_update(ema, g.params, ema_decay),
+                    d_losses, g_loss)
 
-        (g_state, c_state), (d_losses, g_losses) = jax.lax.scan(
-            body, (g_state, c_state),
-            (idx_chunk, iters0 + jnp.arange(steps_per_call)))
-        return g_state, c_state, d_losses, g_losses
+        return jax.jit(step_ema, donate_argnums=donate_args)
+
+    if ema_decay is None:
+        def multi(g_state, c_state, images_u8, idx_chunk, iters0, key):
+            def body(carry, xs):
+                idx, t = xs
+                g, c, d_losses, g_loss = step(
+                    carry[0], carry[1], images_u8, idx,
+                    jax.random.fold_in(key, t))
+                return (g, c), (d_losses, g_loss)
+
+            (g_state, c_state), (d_losses, g_losses) = jax.lax.scan(
+                body, (g_state, c_state),
+                (idx_chunk, iters0 + jnp.arange(steps_per_call)))
+            return g_state, c_state, d_losses, g_losses
+    else:
+        def multi(g_state, c_state, ema, images_u8, idx_chunk, iters0, key):
+            def body(carry, xs):
+                idx, t = xs
+                g, c, d_losses, g_loss = step(
+                    carry[0], carry[1], images_u8, idx,
+                    jax.random.fold_in(key, t))
+                return ((g, c, ema_update(carry[2], g.params, ema_decay)),
+                        (d_losses, g_loss))
+
+            (g_state, c_state, ema), (d_losses, g_losses) = jax.lax.scan(
+                body, (g_state, c_state, ema),
+                (idx_chunk, iters0 + jnp.arange(steps_per_call)))
+            return g_state, c_state, ema, d_losses, g_losses
 
     return jax.jit(multi, donate_argnums=donate_args)

@@ -23,9 +23,10 @@ from xgan.parallel import create_mesh
 from xgan.parallel.tp import (model_parallel_from_args, shard_opt_state,
                               shard_over_model)
 from xgan.train.common import adam, create_state
+from xgan.train.ema import dispatch_with_ema, init_ema
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import batch_tail_mask, grid_iters, \
-    EpochProgress, export_generator_pth, replay_data_rng, \
+    EpochProgress, export_generator_pth, replay_data_rng, save_ema_final, \
     resume_history, resume_preflight, trace_epoch, wgan_live_postfix
 from xgan.train.snapshot import SnapshotManager
 from xgan.train.wgan import make_wgan_step
@@ -84,11 +85,16 @@ def train_wgan(args):
         g_state = shard_opt_state(mesh_ctx, g_state)
         c_state = shard_opt_state(mesh_ctx, c_state)
 
+    # --ema-decay: generator-weight EMA fused into the step
+    # (write-only inside it; see xgan/train/ema.py)
+    ema_decay = float(getattr(args, "ema_decay", 0.0) or 0.0)
+    ema = init_ema(g_state.params) if ema_decay > 0 else None
     step_kwargs = dict(latent_dim=args.latent_dim,
                        critic_iters=args.critic_iters,
                        lambda_gp=args.lambda_gp, dtype=dtype,
                        batch_sharding=mesh_ctx.batch_sharding(4),
-                       store_take=device_store.take)
+                       store_take=device_store.take,
+                       ema_decay=ema_decay if ema is not None else None)
     step_fn = make_wgan_step(g_model, c_model, g_tx, c_tx, **step_kwargs)
     # K>1: K steps per dispatch; epoch tails use the single-step program.
     k_steps = max(1, int(getattr(args, "steps_per_call", 1) or 1))
@@ -109,14 +115,25 @@ def train_wgan(args):
     snap_mgr = SnapshotManager(
         os.path.join(model_dir, "snapshot_last.msgpack"), mesh_ctx,
         async_io=True)  # overlap D2H+write with the next epoch
+    snap_template = {"g": g_state, "c": c_state}
+    if ema is not None:  # EMA resumes with the run
+        snap_template["ema"] = ema
     try:
         states, start_epoch, iters = snap_mgr.try_resume(
-            getattr(args, "resume_from", ""),
-            {"g": g_state, "c": c_state})
+            getattr(args, "resume_from", ""), snap_template)
     except (FileNotFoundError, ValueError) as e:
         print(f"Error: {e}")
         return None
     g_state, c_state = states["g"], states["c"]
+    ema = states.get("ema", ema)
+    # re-apply TP/ZeRO-1 placement after resume (see gan_loop.py)
+    g_state = shard_over_model(mesh_ctx, g_state)
+    c_state = shard_over_model(mesh_ctx, c_state)
+    if getattr(args, "shard_opt_state", False):
+        g_state = shard_opt_state(mesh_ctx, g_state)
+        c_state = shard_opt_state(mesh_ctx, c_state)
+    if ema is not None:
+        ema = shard_over_model(mesh_ctx, ema)
     replay_data_rng(len(store), batch_size, data_rng, start_epoch)
     history_path = os.path.join(metrics_dir, "wgan_training_history.json")
     history = resume_history(history_path, history, start_epoch)
@@ -148,18 +165,22 @@ def train_wgan(args):
                     chunk = (k_steps if (multi_fn is not None
                                          and i + k_steps <= chunkable) else 1)
                     if chunk > 1:
-                        g_state, c_state, d_losses, g_loss = multi_fn(
-                            g_state, c_state, device_store.images,
-                            jnp.asarray(batches[i:i + chunk]), jnp.int32(iters),
-                            k_data)
+                        g_state, c_state, ema, (d_losses, g_loss) = \
+                            dispatch_with_ema(
+                                multi_fn, g_state, c_state, ema,
+                                device_store.images,
+                                jnp.asarray(batches[i:i + chunk]),
+                                jnp.int32(iters), k_data)
                     else:
                         is_tail = (t_mask is not None
                                    and i == num_batches - 1)
-                        g_state, c_state, d_losses, g_loss = step_fn(
-                            g_state, c_state, device_store.images,
-                            jnp.asarray(batches[i]),
-                            jax.random.fold_in(k_data, iters),
-                            mask=jnp.asarray(t_mask) if is_tail else None)
+                        g_state, c_state, ema, (d_losses, g_loss) = \
+                            dispatch_with_ema(
+                                step_fn, g_state, c_state, ema,
+                                device_store.images, jnp.asarray(batches[i]),
+                                jax.random.fold_in(k_data, iters),
+                                mask=(jnp.asarray(t_mask) if is_tail
+                                      else None))
                     d_acc.append(d_losses)
                     g_acc.append(g_loss)
 
@@ -198,7 +219,10 @@ def train_wgan(args):
                 snap_mgr.save_file(os.path.join(
                     model_dir, f"discriminator_epoch_{epoch + 1:03d}.msgpack"),
                     c_state.variables())
-                snap_mgr.save({"g": g_state, "c": c_state}, epoch + 1, iters)
+                snap = {"g": g_state, "c": c_state}
+                if ema is not None:
+                    snap["ema"] = ema
+                snap_mgr.save(snap, epoch + 1, iters)
                 # history persists with the snapshot (see gan_loop.py)
                 snap_mgr.save_json(history_path, history)
 
@@ -214,6 +238,7 @@ def train_wgan(args):
     save_variables(os.path.join(model_dir, "discriminator_final.msgpack"),
                    c_state.variables())
     export_generator_pth(model_dir, "wgan", g_state)
+    save_ema_final(model_dir, "wgan", g_state, ema)
     print("Saved final models.")
     write_json(history_path, history)
     plot_wgan_losses(history,
