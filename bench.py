@@ -8,11 +8,13 @@ JSON line:
 
   {"metric": ..., "value": imgs/sec, "unit": "imgs/sec", "vs_baseline": x}
 
-Measures the trainers' K=8 --steps-per-call dispatch mode (K training
+Measures the trainers' K=32 --steps-per-call dispatch mode (K training
 iterations per dispatched lax.scan program, numerically identical to the
 K=1 loop — tests/test_multistep.py): at 64px the scan amortizes both the
-remote-tunnel dispatch and the per-program device overhead, 2.7x the
-single-dispatch rate (tools/bench_multistep.py).
+remote-tunnel dispatch and the per-program device overhead, ~4x the
+single-dispatch rate (tools/bench_multistep.py; the K sweep in
+BENCH_DETAIL's multistep_k_sweep puts K=32 +4.7% over K=8, asymptoting —
+per-step cost is approaching the pure device step).
 
 vs_baseline compares against the PyTorch-CPU reference step rate measured
 on this host by tools/measure_torch_baseline.py (BASELINE_MEASURED.json;
@@ -32,7 +34,7 @@ LATENT = 100
 FEATURE_MAPS = 64
 WARMUP = 3
 ITERS = 20
-STEPS_PER_CALL = 8
+STEPS_PER_CALL = 32
 FALLBACK_BASELINE_IMGS_PER_SEC = 70.59  # torch-CPU b128, this host (2026-08)
 
 
