@@ -109,7 +109,9 @@ def main():
         return slopes[len(slopes) // 2]
 
     t_plain = measure(None)
+    print(f"# plain: {t_plain*1e3:.3f} ms/step", file=sys.stderr, flush=True)
     t_ema = measure(0.999)
+    print(f"# ema:   {t_ema*1e3:.3f} ms/step", file=sys.stderr, flush=True)
     out = {"backend": backend, "k": k, "batch": batch,
            "sec_per_step_plain": round(t_plain, 6),
            "sec_per_step_ema": round(t_ema, 6),
