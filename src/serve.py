@@ -16,12 +16,15 @@ src/export_model.py (.stablehlo — the model kind, image size and latent
 dim are read from the artifact's input signature, no model flags needed)
 or a classifier checkpoint (.msgpack ours / .pth reference-layout, built
 with --image-size; generator checkpoints need their model flags, so
-export them to an artifact first). The classifier path is the same
-uint8->probability program predict.py uses, behind dynamic
-micro-batching: concurrent /predict requests coalesce into one device
-dispatch (padded to --max-batch; one compiled program shape), so
-throughput under load scales with the batch instead of serializing b=1
-calls. Generators run jitted under a lock.
+export them to an artifact first). BOTH model kinds serve behind
+dynamic micro-batching: concurrent requests coalesce into one device
+dispatch (power-of-2 bucket padding up to --max-batch, every bucket
+precompiled), so throughput under load scales with the batch instead of
+serializing b=1 calls. The classifier path is the same
+uint8->probability program predict.py uses; /generate batches the
+SEEDS — each row's latent derives from its own request's
+jax.random.key(seed) (key data packed on host, parity-asserted), so a
+batched response is bit-identical to an unbatched one.
 
 With ``--heartbeat N`` the server probes its own device every N seconds
 through the real serving path and /healthz becomes a READINESS check:
@@ -59,12 +62,13 @@ def build_parser():
                         "own input signature")
     p.add_argument("--num-classes", type=int, default=2)
     p.add_argument("--max-batch", type=int, default=0,
-                   help="dynamic micro-batching cap for /predict: "
-                        "concurrent requests coalesce into one device "
-                        "batch (power-of-2 bucket padding, every bucket "
-                        "precompiled). 0 = auto: 8 on TPU (dispatch "
-                        "overhead dominates a b=1 forward), 1 on CPU "
-                        "(compute-bound; batching measured 0.7x there)")
+                   help="dynamic micro-batching cap (/predict images, "
+                        "/generate seeds): concurrent requests coalesce "
+                        "into one device batch (power-of-2 bucket "
+                        "padding, every bucket precompiled). 0 = auto: "
+                        "8 on TPU (dispatch overhead dominates a b=1 "
+                        "forward), 1 on CPU (compute-bound; batching "
+                        "measured 0.7x there)")
     p.add_argument("--heartbeat", type=float, default=0.0,
                    help="device-liveness heartbeat period in seconds "
                         "(0 = off): a background thread runs the real "
@@ -160,19 +164,26 @@ class _Metrics:
 
 
 class _Batcher:
-    """Dynamic micro-batching for /predict: concurrent requests that
-    arrive while the device is busy run together in the next dispatch
-    (up to ``max_batch``); an idle server dispatches immediately, so
-    batching adds no latency without load. Each dispatch is PADDED to
-    the next power-of-2 BUCKET (1,2,4,...,max_batch) — a handful of
-    static program shapes, all compiled before traffic, with at most 2x
-    pad waste at partial occupancy (always padding to max_batch measured
-    0.63x on a compute-bound host). Classifier rows are independent
-    (eval-mode BN uses running statistics), so padded rows cannot
-    perturb real ones."""
+    """Dynamic micro-batching: concurrent requests that arrive while the
+    device is busy run together in the next dispatch (up to
+    ``max_batch``); an idle server dispatches immediately, so batching
+    adds no latency without load. Each dispatch is PADDED to the next
+    power-of-2 BUCKET (1,2,4,...,max_batch) — a handful of static
+    program shapes, all compiled before traffic, with at most 2x pad
+    waste at partial occupancy (always padding to max_batch measured
+    0.63x on a compute-bound host). Rows are independent for both
+    served model kinds (classifier eval-mode BN uses running
+    statistics; generator rows each derive from their own request's
+    PRNG key), so padded rows cannot perturb real ones.
 
-    def __init__(self, infer_batch, max_batch: int, metrics=None):
-        self.infer_batch = infer_batch
+    Payload-agnostic: ``run_bucket(items, bucket)`` receives the queued
+    request payloads (n <= bucket of them) plus the bucket size, runs
+    ONE padded device dispatch, and returns one result per item —
+    /predict items are (s,s,3) uint8 images yielding (label, prob),
+    /generate items are (key_data, label) yielding an image array."""
+
+    def __init__(self, run_bucket, max_batch: int, metrics=None):
+        self.run_bucket = run_bucket
         self.max_batch = max_batch
         self.metrics = metrics
         self.buckets = []
@@ -182,12 +193,12 @@ class _Batcher:
             b *= 2
         self.buckets.append(max_batch)
         self.cond = threading.Condition()
-        self.queue = []  # (image (s,s,3) u8, slot dict) pairs
+        self.queue = []  # (payload, slot dict) pairs
         threading.Thread(target=self._worker, daemon=True).start()
 
-    def submit(self, img, timeout: float = 300.0):
+    def submit(self, payload, timeout: float = 300.0):
         slot = {"event": threading.Event()}
-        item = (img, slot)
+        item = (payload, slot)
         with self.cond:
             self.queue.append(item)
             self.cond.notify()
@@ -202,31 +213,25 @@ class _Batcher:
                                f"{timeout:.0f}s")
         if "error" in slot:
             raise slot["error"]
-        return slot["label"], slot["prob"]
+        return slot["result"]
 
     def _worker(self):
-        import numpy as np
         while True:
             with self.cond:
                 while not self.queue:
                     self.cond.wait()
                 batch = self.queue[:self.max_batch]
                 del self.queue[:self.max_batch]
-            imgs = np.stack([img for img, _ in batch])
-            n = imgs.shape[0]
+            n = len(batch)
             bucket = next(b for b in self.buckets if b >= n)
-            if n < bucket:
-                imgs = np.concatenate(
-                    [imgs, np.repeat(imgs[-1:], bucket - n, 0)])
             try:
                 t0 = time.time()
-                labels, probs = self.infer_batch(imgs)
-                labels, probs = np.asarray(labels), np.asarray(probs)
-                if self.metrics is not None:  # asarray blocked: real time
-                    self.metrics.observe_batch(n, bucket, time.time() - t0)
-                for i, (_, slot) in enumerate(batch):
-                    slot["label"] = int(labels[i])
-                    slot["prob"] = float(probs[i])
+                results = self.run_bucket([p for p, _ in batch], bucket)
+                if self.metrics is not None:  # run_bucket blocked on the
+                    self.metrics.observe_batch(n, bucket,  # fetched result
+                                               time.time() - t0)
+                for (_, slot), res in zip(batch, results):
+                    slot["result"] = res
                     slot["event"].set()
             except Exception as e:  # wake waiters; surface as HTTP 500
                 for _, slot in batch:
@@ -288,9 +293,28 @@ class _Heartbeat:
         return ok, s
 
 
+def _key_data(seed: int):
+    """Host-side replica of jax.random.key(seed)'s threefry key data.
+
+    /generate derives each request's latent from its own seed via
+    jax.random.key(seed); batching seeds into ONE dispatch requires the
+    (2,) uint32 key data as a device input — computed on host so no
+    per-request device round-trip sneaks back in. With x64 disabled
+    (this environment) jax packs [0, seed & 0xffffffff]; with x64 it
+    packs the full 64 bits. Parity with the real thing is asserted once
+    at server start (and pinned for a seed sweep in tests/test_serve.py)
+    so a changed default PRNG impl fails loudly, not wrongly."""
+    import jax
+    import numpy as np
+    u = seed & ((1 << 64) - 1)
+    hi = (u >> 32) if jax.config.jax_enable_x64 else 0
+    return np.array([hi, u & 0xffffffff], np.uint32)
+
+
 def make_model(args):
-    """Returns a descriptor dict: kind 'classifier' (infer, image_size)
-    or kind 'generator' (generate, latent_dim, conditional)."""
+    """Returns a descriptor dict: kind 'classifier' (infer_batch,
+    image_size) or kind 'generator' (generate_batch, latent_dim,
+    conditional)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -315,18 +339,32 @@ def make_model(args):
             latent = int(avals[0].shape[1])
             conditional = len(avals) == 2
 
-            def generate(seed, label=None):
-                z = jax.random.normal(jax.random.key(seed), (1, latent),
-                                      jnp.float32)
-                if conditional:
-                    imgs = run(z, np.asarray([label or 0], np.int32))
-                else:
-                    imgs = run(z)
-                return np.asarray(imgs[0])
+            # one-time parity check of the host key-data pack against
+            # the live PRNG (see _key_data): each batched row's latent
+            # must equal the single-request normal(key(seed), (1, L))
+            probe = 123456789
+            if not np.array_equal(
+                    np.asarray(jax.random.key_data(jax.random.key(probe))),
+                    _key_data(probe)):
+                raise RuntimeError(
+                    "host threefry key-data pack does not match "
+                    "jax.random.key on this backend/config; /generate "
+                    "batching would change per-seed outputs")
+
+            def generate_batch(kds, labels=None):
+                # kds (b, 2) uint32 -> z rows; each row is EXACTLY the
+                # single-request z for its seed (tests pin this), so
+                # batching is invisible to clients
+                keys = jax.random.wrap_key_data(kds)
+                z = jax.vmap(lambda k: jax.random.normal(
+                    k, (1, latent), jnp.float32)[0])(keys)
+                return run(z, labels) if conditional else run(z)
+
             # class count: the artifact envelope knows it (export_model
             # bakes it); pre-envelope artifacts fall back to the
             # --num-classes flag (default 2, both reference families)
-            return {"kind": "generator", "generate": generate,
+            return {"kind": "generator",
+                    "generate_batch": jax.jit(generate_batch),
                     "latent_dim": latent, "conditional": conditional,
                     "num_classes": meta.get("num_classes",
                                             args.num_classes)}
@@ -368,36 +406,62 @@ def main():
     if not os.path.exists(args.model_path):
         print(f"Error: model not found at {args.model_path}")
         sys.exit(1)
-    batcher = None
     metrics = _Metrics()
     try:
         desc = make_model(args)
+        import jax
+        mb = max(1, args.max_batch or (
+            1 if jax.default_backend() == "cpu" else 8))
         # compile before accepting traffic so the first request is fast;
         # inside the envelope: a malformed artifact must fail structured
         if desc["kind"] == "classifier":
-            import jax
             size = desc["image_size"]
-            mb = args.max_batch or (
-                1 if jax.default_backend() == "cpu" else 8)
-            batcher = _Batcher(desc["infer_batch"], max(1, mb),
-                               metrics=metrics)
+
+            def run_bucket(items, bucket):
+                imgs = np.stack(items)
+                if imgs.shape[0] < bucket:  # pad rows: repeat the last
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:], bucket - imgs.shape[0],
+                                         0)])
+                labels, probs = desc["infer_batch"](imgs)
+                labels, probs = np.asarray(labels), np.asarray(probs)
+                return [(int(labels[i]), float(probs[i]))
+                        for i in range(len(items))]
+
+            batcher = _Batcher(run_bucket, mb, metrics=metrics)
             for b in batcher.buckets:  # compile every bucket pre-traffic
                 desc["infer_batch"](np.zeros((b, size, size, 3), np.uint8))
         else:
-            img = desc["generate"](0)
+            conditional = desc["conditional"]
+
+            def run_bucket(items, bucket):
+                # items: (key_data (2,) u32, label int) per request
+                kds = np.stack([kd for kd, _ in items])
+                labs = np.asarray([lb for _, lb in items], np.int32)
+                pad = bucket - len(items)
+                if pad:
+                    kds = np.concatenate([kds, np.repeat(kds[-1:], pad, 0)])
+                    labs = np.concatenate([labs, np.repeat(labs[-1:], pad)])
+                imgs = np.asarray(desc["generate_batch"](kds, labs)
+                                  if conditional
+                                  else desc["generate_batch"](kds))
+                return [imgs[i] for i in range(len(items))]
+
+            batcher = _Batcher(run_bucket, mb, metrics=metrics)
+            for b in batcher.buckets:  # compile every bucket pre-traffic
+                kds = np.stack([_key_data(0)] * b)
+                img = np.asarray(
+                    desc["generate_batch"](kds, np.zeros((b,), np.int32))
+                    if conditional else desc["generate_batch"](kds))[0]
             desc["image_size"] = int(img.shape[0])
     except Exception as e:  # noqa: BLE001 — structured CLI error contract
         print(f"Error loading model: {e}")
         sys.exit(1)
-
-    lock = threading.Lock()  # generators: one z batch per dispatch
     model_name = os.path.basename(args.model_path)
     kind = desc["kind"]
     size = desc["image_size"]
     health = {"ok": True, "model": model_name, "kind": kind,
-              "image_size": size}
-    if kind == "classifier":
-        health.update(max_batch=batcher.max_batch)
+              "image_size": size, "max_batch": batcher.max_batch}
     if kind == "generator":
         health.update(latent_dim=desc["latent_dim"],
                       conditional=desc["conditional"])
@@ -406,19 +470,15 @@ def main():
 
     heartbeat = None
     if args.heartbeat > 0:
-        if kind == "classifier":
-            probe = np.zeros((size, size, 3), np.uint8)
-            # bounded submit: a wedged dispatch times the BEAT out (so
-            # beating continues and the error is surfaced) instead of
-            # parking the prober until the hung call returns
-            beat_timeout = max(2.0 * args.heartbeat, 30.0)
+        probe = (np.zeros((size, size, 3), np.uint8)
+                 if kind == "classifier" else (_key_data(0), 0))
+        # bounded submit: a wedged dispatch times the BEAT out (so
+        # beating continues and the error is surfaced) instead of
+        # parking the prober until the hung call returns
+        beat_timeout = max(2.0 * args.heartbeat, 30.0)
 
-            def beat():
-                batcher.submit(probe, timeout=beat_timeout)
-        else:
-            def beat():
-                with lock:
-                    desc["generate"](0)
+        def beat():
+            batcher.submit(probe, timeout=beat_timeout)
         heartbeat = _Heartbeat(beat, args.heartbeat)
 
     class Handler(BaseHTTPRequestHandler):
@@ -541,11 +601,16 @@ def main():
                     return
                 try:  # same keep-serving envelope as /predict: a device
                     # runtime failure must be a structured 500, not a
-                    # dropped connection + per-request traceback
-                    with lock:
-                        img = desc["generate"](seed, label)
+                    # dropped connection + per-request traceback.
+                    # Concurrent requests coalesce into one batched
+                    # dispatch; each row derives from ITS request's seed
+                    # key, so responses are independent of batching.
+                    img = batcher.submit((_key_data(seed), label or 0))
                     buf = io.BytesIO()
                     Image.fromarray(img).save(buf, format="PNG")
+                except TimeoutError as e:  # before OSError: subclass
+                    self._json(503, {"error": str(e)})
+                    return
                 except Exception as e:  # noqa: BLE001 (no socket ops
                     # in this block, so nothing here shadows the outer
                     # OSError disconnect barrier)

@@ -297,12 +297,11 @@ def test_batcher_timeout_and_error_paths():
 
     gate = threading.Event()
 
-    def hanging_infer(imgs):
+    def hanging_run(items, bucket):
         gate.wait(30)  # simulates the tunnel hang, bounded for the test
-        return np.zeros(imgs.shape[0], np.int32), \
-            np.zeros(imgs.shape[0], np.float32)
+        return [(0, 0.0)] * len(items)
 
-    b = serve_mod._Batcher(hanging_infer, max_batch=4)
+    b = serve_mod._Batcher(hanging_run, max_batch=4)
     img = np.zeros((8, 8, 3), np.uint8)
     t0 = _time.time()
     with pytest.raises(TimeoutError):
@@ -316,10 +315,10 @@ def test_batcher_timeout_and_error_paths():
         assert not b.queue
     gate.set()  # release the worker
 
-    def raising_infer(imgs):
+    def raising_run(items, bucket):
         raise RuntimeError("device fell over")
 
-    b2 = serve_mod._Batcher(raising_infer, max_batch=4)
+    b2 = serve_mod._Batcher(raising_run, max_batch=4)
     results = []
 
     def client():
@@ -335,8 +334,7 @@ def test_batcher_timeout_and_error_paths():
         t.join(timeout=15)
     assert results == ["device fell over"] * 3
     # the worker survives the exception and serves the next request
-    b2.infer_batch = lambda imgs: (np.ones(imgs.shape[0], np.int32),
-                                   np.full(imgs.shape[0], 0.5, np.float32))
+    b2.run_bucket = lambda items, bucket: [(1, 0.5)] * len(items)
     label, prob = b2.submit(img, timeout=10)
     assert (label, prob) == (1, 0.5)
 
@@ -521,6 +519,68 @@ def test_serve_metrics_endpoint(tmp_path):
                 in lines)
         assert ('xgan_request_latency_seconds_count{endpoint="/generate"}'
                 ' 3' in lines)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_key_data_pack_matches_jax():
+    """/generate batching packs each request's threefry key data on the
+    HOST (serve._key_data) so batched rows need no per-request device
+    key construction; the pack must equal jax.random.key(seed) exactly
+    for every representable seed (incl. negatives and >32-bit values,
+    which jax truncates with x64 disabled)."""
+    serve = _load_serve_mod()
+    for s in [0, 1, 5, -1, -5, 2**31 - 1, 2**31, 2**40, -2**40,
+              2**63 - 1, -2**63, 1234567890123]:
+        want = np.asarray(jax.random.key_data(jax.random.key(s)))
+        np.testing.assert_array_equal(serve._key_data(s), want, err_msg=s)
+
+
+def test_serve_generate_concurrent_batching(tmp_path):
+    """Generator micro-batching: 8 concurrent /generate requests
+    (distinct seeds) through a --max-batch 4 server must each get THEIR
+    OWN seed's image, bit-identical to the live model's
+    z = normal(key(seed), (1, latent)) — coalesced seeds must not be
+    permuted and pad rows must not leak."""
+    import concurrent.futures
+
+    from PIL import Image
+
+    from xgan.data.pipeline import tanh_to_u8
+    from xgan.io_.export import export_generator, save_exported
+    from xgan.models.dcgan import Generator
+
+    model = Generator(latent_dim=16, feature_maps=8, image_size=32)
+    v = model.init(jax.random.key(1), jnp.zeros((1, 16)), train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    path = str(tmp_path / "gen.stablehlo")
+    save_exported(path, export_generator(model, v, 16))
+
+    seeds = list(range(8))
+    want = [np.asarray(tanh_to_u8(model.apply(
+        v, jax.random.normal(jax.random.key(s), (1, 16), jnp.float32),
+        train=False)))[0] for s in seeds]
+
+    def fetch(port, seed):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"seed": seed}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return np.asarray(Image.open(io.BytesIO(r.read())))
+
+    proc, port = _start(path, "--max-batch", "4")
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            assert json.loads(r.read())["max_batch"] == 4
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            results = list(pool.map(lambda s: fetch(port, s), seeds))
+        for i, got in enumerate(results):
+            np.testing.assert_array_equal(got, want[i], err_msg=i)
+        # batched responses must equal a later UNBATCHED (sequential)
+        # fetch of the same seed — batching is invisible to clients
+        np.testing.assert_array_equal(fetch(port, 5), want[5])
     finally:
         proc.terminate()
         proc.wait(timeout=30)

@@ -2,16 +2,18 @@
 """A/B the serve.py dynamic micro-batching under concurrent load.
 
 Starts src/serve.py as a real subprocess per --max-batch setting, hammers
-POST /predict with --clients concurrent threads for --seconds, and prints
-one JSON line per setting plus the speedup of the largest batch over
-max-batch=1. The interesting target is the TPU backend, where the
-per-dispatch tunnel overhead dominates a b=1 ResNet forward and
-coalescing is nearly free; on a 1-core CPU the compute itself serializes
-so the expected ratio is ~1.0x.
+POST /predict (or /generate with --endpoint generate and a generator
+artifact: distinct seeds per request, PNG responses) with --clients
+concurrent threads for --seconds, and prints one JSON line per setting
+plus the speedup of the largest batch over max-batch=1. The interesting
+target is the TPU backend, where the per-dispatch tunnel overhead
+dominates a b=1 forward and coalescing is nearly free; on a 1-core CPU
+the compute itself serializes so the expected ratio is ~1.0x.
 
 Usage:
   python tools/bench_serve.py --model-path clf.stablehlo \
-      [--cpu] [--clients 16] [--seconds 10] [--max-batches 1,8]
+      [--endpoint predict|generate] [--cpu] [--clients 16] \
+      [--seconds 10] [--max-batches 1,8]
 """
 import argparse
 import io
@@ -65,9 +67,9 @@ def start_server(model_path, image_size, max_batch, cpu):
                        f"{err_tail()}")
 
 
-def hammer(port, bodies, clients, seconds):
-    """Concurrent clients cycling through distinct PNG bodies; returns
-    (requests_completed, wall_seconds)."""
+def hammer(port, path, bodies, clients, seconds):
+    """Concurrent clients cycling through distinct request bodies;
+    returns (requests_completed, wall_seconds)."""
     stop = time.time() + seconds
     counts = [0] * clients
     errors = []
@@ -76,11 +78,11 @@ def hammer(port, bodies, clients, seconds):
         i = ci
         while time.time() < stop:
             req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/predict",
+                f"http://127.0.0.1:{port}{path}",
                 data=bodies[i % len(bodies)], method="POST")
             try:
                 with urllib.request.urlopen(req, timeout=120) as r:
-                    json.loads(r.read())
+                    r.read()  # JSON for /predict, PNG for /generate
                 counts[ci] += 1
             except Exception as e:  # noqa: BLE001
                 errors.append(str(e))
@@ -110,6 +112,10 @@ def main():
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--max-batches", type=str, default="1,8")
+    ap.add_argument("--endpoint", choices=("predict", "generate"),
+                    default="predict",
+                    help="generate: --model-path must be a generator "
+                         "artifact; requests carry distinct seeds")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--write-detail", action="store_true",
                     help="merge the A/B into BENCH_DETAIL.json under "
@@ -118,21 +124,27 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    bodies = []
-    for _ in range(32):
-        img = rng.integers(0, 255, (args.image_size, args.image_size, 3),
-                           np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="PNG")
-        bodies.append(buf.getvalue())
+    if args.endpoint == "generate":
+        bodies = [json.dumps({"seed": i}).encode() for i in range(32)]
+        path = "/generate"
+    else:
+        bodies = []
+        for _ in range(32):
+            img = rng.integers(0, 255,
+                               (args.image_size, args.image_size, 3),
+                               np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            bodies.append(buf.getvalue())
+        path = "/predict"
 
     results = {}
     for mb in [int(x) for x in args.max_batches.split(",")]:
         proc, port = start_server(args.model_path, args.image_size, mb,
                                   args.cpu)
         try:
-            hammer(port, bodies, args.clients, 2.0)  # warm the pipe
-            n, dt = hammer(port, bodies, args.clients, args.seconds)
+            hammer(port, path, bodies, args.clients, 2.0)  # warm
+            n, dt = hammer(port, path, bodies, args.clients, args.seconds)
             results[mb] = {"requests": n, "seconds": round(dt, 2),
                            "req_per_sec": round(n / dt, 1)}
         finally:
@@ -161,7 +173,9 @@ def main():
                  "by_max_batch": {str(k): results[k] for k in mbs}}
         if ratio is not None:
             entry["speedup"] = round(ratio, 2)
-        merged["serve_microbatch_ab"] = entry
+        key = ("serve_generate_microbatch_ab"
+               if args.endpoint == "generate" else "serve_microbatch_ab")
+        merged[key] = entry
         with open(out, "w") as f:
             json.dump(merged, f, indent=2)
         print(f"wrote {out}")
