@@ -160,3 +160,26 @@ def test_train_dcgan_ema_files_and_resume_equality(fake_dataset, tmp_path):
         .read_bytes())
     for x, y in zip(_leaves(ema_a), _leaves(ema_b)):
         np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
+
+
+def test_resume_pre_ema_snapshot_fails_with_hint(tmp_path):
+    """Turning --ema-decay ON for a run resumed from a snapshot written
+    WITHOUT it must fail with a structured hint (the snapshot has no
+    'ema' entry), not a cryptic flax keys message or a silent restart."""
+    import jax.numpy as jnp
+
+    from xgan.train.common import ModelState, adam
+    from xgan.train.snapshot import SnapshotManager
+
+    def _state(v):
+        params = {"w": jnp.full((3, 3), v)}
+        tx = adam(1e-3, 0.9)
+        return ModelState(params=params, batch_stats={},
+                          opt_state=tx.init(params))
+
+    path = str(tmp_path / "old.msgpack")
+    mgr = SnapshotManager(path)
+    mgr.save({"g": _state(1.0), "d": _state(2.0)}, epoch=3, iters=30)
+    with pytest.raises(ValueError, match="predates --ema-decay"):
+        mgr.try_resume(path, {"g": _state(0.0), "d": _state(0.0),
+                              "ema": {"w": jnp.zeros((3, 3))}})

@@ -193,7 +193,14 @@ class SnapshotManager:
         like = {name: jax.device_get(st) for name, st in states.items()}
         like["epoch"] = 0
         like["iters"] = 0
-        snap = load_variables(resume_from, like)
+        try:
+            snap = load_variables(resume_from, like)
+        except ValueError as e:
+            hint = ("" if not ("ema" in like and "ema" in str(e)) else
+                    " (the snapshot predates --ema-decay; resume without "
+                    "the flag or start fresh)")
+            raise ValueError(
+                f"cannot load snapshot {resume_from}: {e}{hint}") from e
         check_leaf_shapes(like, snap,
                           f"snapshot {resume_from} does not match the "
                           "current model flags")
