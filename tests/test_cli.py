@@ -72,6 +72,20 @@ def test_train_classifier_flags():
     assert d["grad_accum"] == 1  # TPU-native extra; 1 = reference step
 
 
+@pytest.mark.parametrize("script", ["train_gan", "train_wggan", "train_cgan"])
+def test_gan_trainer_extension_flag_defaults(script):
+    """TPU-native extension flags must default to reference behavior: a
+    bare invocation trains exactly the reference loop (no EMA, one step
+    per dispatch, replicated params/optimizer, local data store)."""
+    d = defaults(load_parser(script))
+    assert d["ema_decay"] == 0.0       # off = reference (no EMA path)
+    assert d["steps_per_call"] == 1    # one program per step
+    assert d["model_parallel"] == 1    # replicated wide layers
+    assert d["shard_opt_state"] is False
+    assert d["shard_store"] is False
+    assert d["trace_dir"] == ""
+
+
 @pytest.mark.parametrize("script,fm", [("generate_synthetic", 64),
                                        ("generate_synthetic_cgan", 32),
                                        ("generate_synthetic_wgan", 64)])
