@@ -196,8 +196,13 @@ class _Batcher:
         self.queue = []  # (payload, slot dict) pairs
         threading.Thread(target=self._worker, daemon=True).start()
 
-    def submit(self, payload, timeout: float = 300.0):
-        slot = {"event": threading.Event()}
+    def submit(self, payload, timeout: float = 300.0,
+               probe: bool = False):
+        # probe=True (heartbeat): exercises the real dispatch path but
+        # is EXCLUDED from batcher metrics — a 1 Hz heartbeat would
+        # otherwise dominate rows/occupancy on an idle server and a
+        # dashboard would read the opposite of the real traffic shape
+        slot = {"event": threading.Event(), "probe": probe}
         item = (payload, slot)
         with self.cond:
             self.queue.append(item)
@@ -227,8 +232,13 @@ class _Batcher:
             try:
                 t0 = time.time()
                 results = self.run_bucket([p for p, _ in batch], bucket)
-                if self.metrics is not None:  # run_bucket blocked on the
-                    self.metrics.observe_batch(n, bucket,  # fetched result
+                # count only non-probe rows (heartbeats ride the real
+                # path but must not skew the tuning metrics); a pure-
+                # probe dispatch is unrecorded, a mixed one counts its
+                # probe rows as pad (non-real dispatched rows)
+                n_real = sum(1 for _, s in batch if not s.get("probe"))
+                if self.metrics is not None and n_real:  # run_bucket
+                    self.metrics.observe_batch(n_real, bucket,  # blocked
                                                time.time() - t0)
                 for (_, slot), res in zip(batch, results):
                     slot["result"] = res
@@ -478,7 +488,7 @@ def main():
         beat_timeout = max(2.0 * args.heartbeat, 30.0)
 
         def beat():
-            batcher.submit(probe, timeout=beat_timeout)
+            batcher.submit(probe, timeout=beat_timeout, probe=True)
         heartbeat = _Heartbeat(beat, args.heartbeat)
 
     class Handler(BaseHTTPRequestHandler):
@@ -588,7 +598,16 @@ def main():
                     if not -2**63 <= seed < 2**63:
                         raise ValueError("seed out of int64 range")
                     label = req.get("label")
-                    if desc["conditional"] and label is not None:
+                    if not desc["conditional"]:
+                        # non-conditional generators ignore label, so a
+                        # junk value ("positive") must be dropped HERE:
+                        # past this point it enters the SHARED batch,
+                        # where np.asarray(int32) would 500 every
+                        # co-batched request
+                        label = 0
+                    elif label is None:
+                        label = 0
+                    else:
                         label = int(label)
                         if not 0 <= label < desc["num_classes"]:
                             # XLA clamps out-of-range embedding gathers
@@ -605,7 +624,7 @@ def main():
                     # Concurrent requests coalesce into one batched
                     # dispatch; each row derives from ITS request's seed
                     # key, so responses are independent of batching.
-                    img = batcher.submit((_key_data(seed), label or 0))
+                    img = batcher.submit((_key_data(seed), label))
                     buf = io.BytesIO()
                     Image.fromarray(img).save(buf, format="PNG")
                 except TimeoutError as e:  # before OSError: subclass

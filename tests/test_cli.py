@@ -163,3 +163,15 @@ def test_data_loader_self_test_error_envelope(fake_dataset, monkeypatch,
     assert "Error using" not in out
     assert "phased batch ratio=1.0" in out
     assert "self-test finished" in out
+
+
+def test_ema_decay_out_of_range_rejected():
+    """--ema-decay outside [0, 1) diverges the EMA lerp, and because
+    the EMA tree is write-only the damage only surfaces in the FINAL
+    checkpoint hours later — the typo must die at parse time."""
+    p = load_parser("train_gan")
+    for bad in ("9.99", "1.0", "-0.1"):
+        with pytest.raises(SystemExit):
+            p.parse_args(["--ema-decay", bad])
+    assert p.parse_args(["--ema-decay", "0.999"]).ema_decay == 0.999
+    assert p.parse_args([]).ema_decay == 0.0

@@ -183,3 +183,26 @@ def test_resume_pre_ema_snapshot_fails_with_hint(tmp_path):
     with pytest.raises(ValueError, match="predates --ema-decay"):
         mgr.try_resume(path, {"g": _state(0.0), "d": _state(0.0),
                               "ema": {"w": jnp.zeros((3, 3))}})
+
+
+def test_resume_ema_snapshot_without_flag_fails_with_hint(tmp_path):
+    """The reverse of the pre-EMA case: a snapshot WRITTEN with
+    --ema-decay resumed without the flag must hint to re-add it, not
+    die on a raw flax keys-mismatch."""
+    import jax.numpy as jnp
+
+    from xgan.train.common import ModelState, adam
+    from xgan.train.snapshot import SnapshotManager
+
+    def _state(v):
+        params = {"w": jnp.full((3, 3), v)}
+        tx = adam(1e-3, 0.9)
+        return ModelState(params=params, batch_stats={},
+                          opt_state=tx.init(params))
+
+    path = str(tmp_path / "ema.msgpack")
+    mgr = SnapshotManager(path)
+    mgr.save({"g": _state(1.0), "d": _state(2.0),
+              "ema": {"w": jnp.zeros((3, 3))}}, epoch=3, iters=30)
+    with pytest.raises(ValueError, match="re-add --ema-decay"):
+        mgr.try_resume(path, {"g": _state(0.0), "d": _state(0.0)})

@@ -124,6 +124,17 @@ def test_serve_generator_artifact(tmp_path):
             f"http://127.0.0.1:{port}/generate", data=b"", method="POST")
         with urllib.request.urlopen(req, timeout=60) as r:
             assert r.headers["Content-Type"] == "image/png"
+        # non-conditional generators IGNORE label (parity with the old
+        # per-request path): a junk value must be dropped BEFORE the
+        # shared batch, where np.asarray(int32) would 500 every
+        # co-batched request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"seed": 3, "label": "positive"}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            got = np.asarray(Image.open(io.BytesIO(r.read())))
+        np.testing.assert_array_equal(got, want)
         # server still alive and correct after the error barrage
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/generate",
@@ -584,3 +595,26 @@ def test_serve_generate_concurrent_batching(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_batcher_probe_submissions_excluded_from_metrics():
+    """Heartbeat probes ride the real dispatch path but must not skew
+    the tuning metrics: a 1 Hz heartbeat on an idle server would
+    otherwise dominate rows/occupancy and a dashboard would read the
+    opposite of the real traffic shape."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_mod", os.path.join(SRC, "serve.py"))
+    serve_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_mod)
+
+    m = serve_mod._Metrics()
+    b = serve_mod._Batcher(lambda items, bucket: list(range(len(items))),
+                           max_batch=4, metrics=m)
+    for _ in range(5):  # pure-probe dispatches: unrecorded
+        b.submit("probe", probe=True)
+    assert m.batches == 0 and m.rows == 0 and m.padded == 0
+    assert m.batch_size == {} and m.device[1] == 0
+    b.submit("real")  # real traffic still counts
+    assert m.batches == 1 and m.rows == 1 and m.device[1] == 1

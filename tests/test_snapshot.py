@@ -127,3 +127,18 @@ def test_analyzer_excludes_historyless_run(tmp_path):
     (tmp_path / "baseline_final_metrics.json").write_text(
         json.dumps({"config": {}, "metrics": {"accuracy": 0.9}}))
     assert load_metrics(str(tmp_path), "baseline_") is None
+
+
+def test_async_write_failure_raises_on_next_save(tmp_path):
+    """A failed background write surfaces at the NEXT save, not hours
+    later at the loop-end flush: a run whose checkpoint dir went bad at
+    epoch 1 must stop reporting 'Saved checkpoints' for epochs 2..N."""
+    import pytest
+
+    (tmp_path / "snap.msgpack").mkdir()  # rename onto a dir fails
+    mgr = SnapshotManager(str(tmp_path / "snap.msgpack"), async_io=True)
+    mgr.save({"g": _state(1.0)}, epoch=1, iters=1)
+    mgr._writer._queue.join()  # let the worker hit the failure
+    with pytest.raises(Exception):
+        mgr.save({"g": _state(2.0)}, epoch=2, iters=2)
+    mgr.flush()  # error was consumed by the raise: flush is clean

@@ -22,6 +22,18 @@ from __future__ import annotations
 import argparse
 
 
+def _ema_decay(value: str) -> float:
+    """Range-checked --ema-decay: the EMA lerp e*d + (1-d)*p diverges
+    for d outside [0, 1), and because the EMA tree is write-only the
+    run would LOOK healthy for hours — only the final EMA checkpoint
+    would come out inf/garbage. Fail the typo at parse time."""
+    f = float(value)
+    if not 0.0 <= f < 1.0:
+        raise argparse.ArgumentTypeError(
+            f"--ema-decay must be in [0, 1) (e.g. 0.999); got {value}")
+    return f
+
+
 def add_compute_dtype_arg(p: argparse.ArgumentParser):
     """For inference-only CLIs (samplers, predict, serve, export): the
     compute dtype the trainers get via add_tpu_args. Without it these
@@ -78,7 +90,7 @@ def add_gan_train_args(p: argparse.ArgumentParser, *, epochs: int,
     p.add_argument("--save-interval", type=int, default=save_interval)
     p.add_argument("--checkpoint-interval", type=int,
                    default=checkpoint_interval)
-    p.add_argument("--ema-decay", type=float, default=0.0,
+    p.add_argument("--ema-decay", type=_ema_decay, default=0.0,
                    help="Keep an exponential moving average of the "
                         "generator weights (e.g. 0.999) and save it as "
                         "generator_ema_final.msgpack/.pth next to the "

@@ -499,6 +499,16 @@ def train_classifier(args):
         print("Note: --shard-store is ignored with --parallel-folds; "
               "replicating the stores.")
         shard_store = False
+    if (getattr(args, "shard_opt_state", False)
+            and getattr(args, "parallel_folds", False)):
+        # same mesh-ownership conflict as --model-parallel above: the
+        # fold program owns the ('fold','data') mesh, so ZeRO-1 moment
+        # sharding never runs there — say so instead of silently doing
+        # nothing (the user is reasoning about HBM headroom)
+        print("Note: --shard-opt-state is ignored with --parallel-folds "
+              "(the fold axis owns the mesh); Adam moments stay "
+              "replicated.")
+        args.shard_opt_state = False
     # real + test stores carry the dataset memory; the synthetic store
     # stays replicated (it is generated, typically far smaller, and the
     # curriculum fallback aliases it to the real store — which IS

@@ -26,8 +26,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from xgan.io_.checkpoint import check_leaf_shapes, load_variables, \
-    save_variables
+from xgan.io_.checkpoint import check_leaf_shapes, save_variables
 from xgan.train.common import ModelState
 
 
@@ -59,6 +58,13 @@ class AsyncWriter:
                 self._queue.task_done()
 
     def submit(self, job) -> None:
+        # surface a prior worker failure NOW, not hours later at the
+        # loop-end flush: a run whose checkpoint writes started failing
+        # (disk full, unwritable dir) must stop at the next save instead
+        # of training to completion while reporting successful saves
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
         if self._queue is None:
             import queue
             # bounded: the producer blocks rather than pile up device
@@ -193,12 +199,33 @@ class SnapshotManager:
         like = {name: jax.device_get(st) for name, st in states.items()}
         like["epoch"] = 0
         like["iters"] = 0
+        from flax import serialization
+        with open(resume_from, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        # flax from_state_dict silently DROPS state keys the template
+        # lacks — and the next save then overwrites the snapshot without
+        # them, destroying e.g. hours of accumulated EMA because the
+        # flag was dropped on resume. Refuse instead.
+        extra = sorted(set(raw) - set(like))
+        if extra:
+            hint = (" — re-add --ema-decay to resume it (resuming "
+                    "without the flag would silently discard the "
+                    "accumulated EMA at the next snapshot save)"
+                    if "ema" in extra else "")
+            raise ValueError(
+                f"snapshot {resume_from} carries state the current "
+                f"flags do not use: {', '.join(extra)}{hint}")
         try:
-            snap = load_variables(resume_from, like)
+            snap = serialization.from_state_dict(like, raw)
         except ValueError as e:
-            hint = ("" if not ("ema" in like and "ema" in str(e)) else
-                    " (the snapshot predates --ema-decay; resume without "
-                    "the flag or start fresh)")
+            if "ema" not in str(e):
+                hint = ""
+            elif "ema" in like:  # template expects EMA, snapshot lacks it
+                hint = (" (the snapshot predates --ema-decay; resume "
+                        "without the flag or start fresh)")
+            else:  # snapshot carries EMA, flag was dropped on resume
+                hint = (" (the snapshot carries --ema-decay state; "
+                        "re-add the flag to resume it)")
             raise ValueError(
                 f"cannot load snapshot {resume_from}: {e}{hint}") from e
         check_leaf_shapes(like, snap,
