@@ -44,8 +44,8 @@ from xgan.train.common import ModelState
 from xgan.train.curriculum import (get_current_synthetic_ratio,
                                    parse_curriculum_schedule)
 from xgan.train.gan_loop import load_train_store, resolve_dtype
-from xgan.train.loop_common import EpochProgress, batch_tail_mask, \
-    loss_live_postfix, trace_epoch
+from xgan.train.loop_common import EpochProgress, GracefulShutdown, \
+    batch_tail_mask, loss_live_postfix, trace_epoch
 from xgan.utils import check_create_dir
 from xgan.utils.timer import maybe_trace
 
@@ -190,11 +190,18 @@ def fallback_pool(real_dev, train_indices):
 
 def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
                   *, fold, strategy, schedule, seed_offset=0,
-                  synth_fallback=False):
+                  synth_fallback=False, shutdown=None):
     """Train one model (one fold or the single run).
 
     val_spec: (DeviceStore, indices or None) evaluated with eval transforms.
     Returns (best_variables, history).
+
+    shutdown: optional GracefulShutdown polled at each epoch boundary.
+    A preempted FOLD skips its history write so fold-level resume sees
+    it as incomplete and retrains it (a fold that looks complete but
+    trained fewer epochs would silently bias the CV summary); the
+    single run keeps its history — it has no resume path, so its
+    partial artifacts are the only record of the training that ran.
     """
     real_dev, synth_dev, _ = stores
     mode = {"baseline": "real", "augmented": "concat",
@@ -340,8 +347,15 @@ def train_one_run(args, mesh_ctx, dtype, stores, train_indices, val_spec,
                 best_vars["params"], best_vars["batch_stats"],
                 stage_sizes=_resnet_stages(args))
 
-    write_json(os.path.join(args.results_dir,
-                            f"{run_prefix}training_history.json"), history)
+        if (shutdown is not None and shutdown.requested
+                and (epoch + 1) < args.epochs):
+            break  # preempted: the caller reads completion off history
+
+    if not (shutdown is not None and shutdown.requested
+            and len(history["epoch"]) < args.epochs and fold is not None):
+        write_json(os.path.join(args.results_dir,
+                                f"{run_prefix}training_history.json"),
+                   history)
     print(f"Best val Acc: {best_acc:.4f}")
     return best_vars, history
 
@@ -554,30 +568,52 @@ def train_classifier(args):
                    random_state=KFOLD_SEED)
         fold_metrics, fold_histories = [], []
         resume = getattr(args, "resume_from", "") == "auto"
-        for fold, (tr_idx, val_idx) in enumerate(
-                kf.split(range(len(train_store)))):
-            print(f"\n===== Fold {fold + 1} / {args.k_folds} =====")
-            try:
-                done = _load_completed_fold(args, fold + 1, strategy,
-                                            dtype) if resume else None
-            except ValueError as e:
-                print(f"Error: {e}")
-                return None
-            if done is not None:
-                print(f"Resuming: fold {fold + 1} already trained; "
-                      "loading its checkpoint and history.")
-                best_vars, history = done
-            else:
-                best_vars, history = train_one_run(
-                    args, mesh_ctx, dtype, stores, tr_idx,
-                    (real_dev, val_idx), fold=fold + 1, strategy=strategy,
-                    schedule=schedule, seed_offset=fold,
-                    synth_fallback=synth_fallback)
-            fold_histories.append(history)
-            print(f"--- Evaluating Fold {fold + 1} Model on Test Set ---")
-            metrics = evaluate_model(eval_step, best_vars, test_dev,
-                                     batch_size)
-            fold_metrics.append(metrics)
+        # SIGTERM/SIGINT → finish the current epoch, stop cleanly. A
+        # completed fold's artifacts are already on disk, so
+        # --resume-from auto skips it; an incomplete fold retrains.
+        shutdown = GracefulShutdown("cross-validation")
+        shutdown.install()
+        try:
+            for fold, (tr_idx, val_idx) in enumerate(
+                    kf.split(range(len(train_store)))):
+                print(f"\n===== Fold {fold + 1} / {args.k_folds} =====")
+                try:
+                    done = _load_completed_fold(args, fold + 1, strategy,
+                                                dtype) if resume else None
+                except ValueError as e:
+                    print(f"Error: {e}")
+                    return None
+                if done is not None:
+                    print(f"Resuming: fold {fold + 1} already trained; "
+                          "loading its checkpoint and history.")
+                    best_vars, history = done
+                else:
+                    best_vars, history = train_one_run(
+                        args, mesh_ctx, dtype, stores, tr_idx,
+                        (real_dev, val_idx), fold=fold + 1,
+                        strategy=strategy, schedule=schedule,
+                        seed_offset=fold, synth_fallback=synth_fallback,
+                        shutdown=shutdown)
+                if (shutdown.requested
+                        and len(history["epoch"]) < args.epochs):
+                    print(f"Preempted: fold {fold + 1} is incomplete "
+                          "and will retrain on --resume-from auto; no "
+                          "summary written.")
+                    return None
+                fold_histories.append(history)
+                print(f"--- Evaluating Fold {fold + 1} Model on Test "
+                      "Set ---")
+                metrics = evaluate_model(eval_step, best_vars, test_dev,
+                                         batch_size)
+                fold_metrics.append(metrics)
+                if shutdown.requested and fold + 1 < args.k_folds:
+                    print(f"Preempted: stopping after completed fold "
+                          f"{fold + 1}; re-run with --resume-from auto "
+                          "to train the remaining folds (no summary "
+                          "written).")
+                    return None
+        finally:
+            shutdown.restore()
 
         summary = cv_summary(fold_metrics)
         print("\n===== Cross-Validation Summary =====")
@@ -592,10 +628,22 @@ def train_classifier(args):
     # Single run: test set doubles as validation (reference behavior,
     # train_classifier.py:592-594).
     print("Warning: using test set as validation for non-CV run.")
-    best_vars, history = train_one_run(
-        args, mesh_ctx, dtype, stores, np.arange(len(train_store)),
-        (test_dev, None), fold=None, strategy=strategy, schedule=schedule,
-        synth_fallback=synth_fallback)
+    shutdown = GracefulShutdown()
+    shutdown.install()
+    try:
+        best_vars, history = train_one_run(
+            args, mesh_ctx, dtype, stores, np.arange(len(train_store)),
+            (test_dev, None), fold=None, strategy=strategy,
+            schedule=schedule, synth_fallback=synth_fallback,
+            shutdown=shutdown)
+    finally:
+        shutdown.restore()
+    if shutdown.requested and len(history["epoch"]) < args.epochs:
+        # no resume path for single runs: keep the partial artifacts
+        # (best checkpoint + history) and say what the metrics mean
+        print(f"Note: run preempted after epoch {len(history['epoch'])}"
+              f"/{args.epochs}; metrics below reflect the best "
+              "checkpoint reached so far.")
     metrics = evaluate_model(eval_step, best_vars, test_dev, batch_size)
     write_json(os.path.join(args.results_dir,
                             f"{run_prefix}final_metrics.json"),

@@ -28,8 +28,9 @@ from xgan.train.common import adam, create_state
 from xgan.train.ema import dispatch_with_ema, init_ema
 from xgan.train.gan import make_dcgan_step
 from xgan.train.loop_common import batch_tail_mask, gan_live_postfix, \
-    grid_iters, EpochProgress, export_generator_pth, replay_data_rng, \
-    resume_history, resume_preflight, save_ema_final, trace_epoch
+    grid_iters, EpochProgress, GracefulShutdown, export_generator_pth, \
+    replay_data_rng, resume_history, resume_preflight, save_ema_final, \
+    trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -178,6 +179,9 @@ def train_dcgan(args):
     start_time = time.time()
     print("Starting Training Loop...")
 
+    preempted = 0
+    shutdown = GracefulShutdown()
+    shutdown.install()  # restored in the finally below
     try:
         for epoch in range(start_epoch, args.epochs):
             epoch_start = time.time()
@@ -251,7 +255,8 @@ def train_dcgan(args):
                   f"{timer.rate * batch_size:.1f} imgs/s")
 
             if ((epoch + 1) % args.checkpoint_interval == 0
-                    or (epoch + 1) == args.epochs):
+                    or (epoch + 1) == args.epochs
+                    or shutdown.requested):  # preempt: force off-interval
                 snap_mgr.save_file(os.path.join(
                     gan_model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
                     g_state.variables())
@@ -271,13 +276,23 @@ def train_dcgan(args):
                 print(f"Saved checkpoints for epoch {epoch + 1} "
                       f"to {gan_model_dir}")
 
+            if shutdown.requested and (epoch + 1) < args.epochs:
+                preempted = epoch + 1  # snapshot just saved above
+                break
+
     finally:
         # Land queued async writes on EVERY exit path: normally before
         # the final saves below; on a crash so bytes for snapshots the
         # loop already reported saved aren't lost with the daemon
         # writer thread. Worker errors re-raise only on the clean path
         # (they must not mask an in-flight exception).
+        shutdown.restore()
         snap_mgr.flush(reraise=sys.exc_info()[0] is None)
+    if preempted:
+        print(f"Preempted: training stopped after epoch {preempted} "
+              f"with a resumable snapshot; re-run with --resume-from "
+              "auto to continue.")
+        return history
     print(f"Training finished in {time.time() - start_time:.2f} seconds.")
     save_variables(os.path.join(gan_model_dir, "generator_final.msgpack"),
                    g_state.variables())

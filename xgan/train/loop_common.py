@@ -19,6 +19,66 @@ import numpy as np
 from xgan.data.pipeline import epoch_batches
 
 
+class GracefulShutdown:
+    """Preemption-safe shutdown: SIGTERM/SIGINT → checkpoint → exit 0.
+
+    TPU pods are preempted with a SIGTERM grace window ahead of
+    maintenance/evictions; the reference loop would simply die and lose
+    everything since its last write-only checkpoint. Between install()
+    and restore() (context-manager form works too; the loops call
+    restore() from their existing finally) the FIRST signal only sets a
+    flag; the train loops
+    poll it at their epoch boundary (the snapshot/RNG-replay resume
+    granularity — saving mid-epoch state would break the
+    straight==resumed equality the resume tests pin), force a snapshot
+    even off --checkpoint-interval, and return cleanly so an
+    orchestrator restart with --resume-from auto continues the run. A
+    SECOND signal raises KeyboardInterrupt immediately — the loops'
+    try/finally still flushes queued async checkpoint bytes on that
+    path, so "stop NOW" never silently drops writes already reported.
+
+    Handler installation is a no-op off the main thread (tests drive
+    the loops from worker threads; signal.signal raises there), and the
+    previous handlers are restored on exit so nested/sequential runs in
+    one process (parallel CV folds, the pipeline demo) don't leak them.
+    """
+
+    def __init__(self, what: str = "training"):
+        self.requested = False
+        self._what = what
+        self._prev = {}
+
+    def install(self):
+        import signal
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                self._prev[sig] = signal.signal(sig, self._handle)
+        except ValueError:  # not the main thread: degrade to inert flag
+            self._prev = {}
+        return self
+
+    def __enter__(self):
+        return self.install()
+
+    def _handle(self, signum, frame):
+        if self.requested:  # second signal: unwind now (finally blocks
+            raise KeyboardInterrupt  # still flush queued writes)
+        self.requested = True
+        print(f"\nReceived signal {signum}: will checkpoint and stop "
+              f"{self._what} at the end of this epoch "
+              "(signal again to abort immediately).")
+
+    def restore(self):
+        import signal
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        self._prev = {}
+
+    def __exit__(self, *exc):
+        self.restore()
+        return False
+
+
 def resume_history(history_path: str, history: dict, start_epoch: int):
     """On resume, reload the prior run's history JSON so the final file
     covers every epoch; a fresh run (or a key-set mismatch from an older

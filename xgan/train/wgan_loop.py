@@ -26,8 +26,9 @@ from xgan.train.common import adam, create_state
 from xgan.train.ema import dispatch_with_ema, init_ema
 from xgan.train.gan_loop import load_train_store, resolve_dtype
 from xgan.train.loop_common import batch_tail_mask, grid_iters, \
-    EpochProgress, export_generator_pth, replay_data_rng, save_ema_final, \
-    resume_history, resume_preflight, trace_epoch, wgan_live_postfix
+    EpochProgress, GracefulShutdown, export_generator_pth, \
+    replay_data_rng, save_ema_final, resume_history, resume_preflight, \
+    trace_epoch, wgan_live_postfix
 from xgan.train.snapshot import SnapshotManager
 from xgan.train.wgan import make_wgan_step
 from xgan.utils import StepTimer, check_create_dir
@@ -139,6 +140,9 @@ def train_wgan(args):
     history = resume_history(history_path, history, start_epoch)
     timer = StepTimer()
 
+    preempted = 0
+    shutdown = GracefulShutdown()
+    shutdown.install()  # restored in the finally below
     try:
         for epoch in range(start_epoch, args.epochs):
             t0 = time.time()
@@ -212,7 +216,8 @@ def train_wgan(args):
                   f"{timer.rate * batch_size:.1f} imgs/s")
 
             if ((epoch + 1) % args.checkpoint_interval == 0
-                    or (epoch + 1) == args.epochs):
+                    or (epoch + 1) == args.epochs
+                    or shutdown.requested):  # preempt: force off-interval
                 snap_mgr.save_file(os.path.join(
                     model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
                     g_state.variables())
@@ -226,13 +231,23 @@ def train_wgan(args):
                 # history persists with the snapshot (see gan_loop.py)
                 snap_mgr.save_json(history_path, history)
 
+            if shutdown.requested and (epoch + 1) < args.epochs:
+                preempted = epoch + 1  # snapshot just saved above
+                break
+
     finally:
         # Land queued async writes on EVERY exit path: normally before
         # the final saves below; on a crash so bytes for snapshots the
         # loop already reported saved aren't lost with the daemon
         # writer thread. Worker errors re-raise only on the clean path
         # (they must not mask an in-flight exception).
+        shutdown.restore()
         snap_mgr.flush(reraise=sys.exc_info()[0] is None)
+    if preempted:
+        print(f"Preempted: training stopped after epoch {preempted} "
+              f"with a resumable snapshot; re-run with --resume-from "
+              "auto to continue.")
+        return history
     save_variables(os.path.join(model_dir, "generator_final.msgpack"),
                    g_state.variables())
     save_variables(os.path.join(model_dir, "discriminator_final.msgpack"),
