@@ -48,6 +48,43 @@ def test_graceful_shutdown_unit():
     assert signal.getsignal(signal.SIGTERM) is prev
 
 
+def test_checkpoint_boundary_latches_once():
+    """The gate must read shutdown.requested exactly ONCE: a signal
+    landing between a save-gate read and a break-check read would stop
+    the loop WITHOUT the snapshot the preempt notice promises. The
+    flip-flop stub returns False on its first read and True after —
+    a two-read implementation would return stop=True with no save."""
+    from xgan.train.loop_common import checkpoint_boundary
+
+    class FlipFlop:
+        def __init__(self):
+            self.reads = 0
+
+        @property
+        def requested(self):
+            self.reads += 1
+            return self.reads > 1
+
+    saved = []
+    ff = FlipFlop()
+    stop = checkpoint_boundary(ff, epoch=0, epochs=10, interval=10,
+                               save=lambda: saved.append(1))
+    assert ff.reads == 1  # single latched read
+    assert not stop and not saved  # signal after the read: next boundary
+
+    class Always:
+        requested = True
+
+    # preempt mid-run: save forced off-interval, stop requested
+    stop = checkpoint_boundary(Always(), epoch=0, epochs=10, interval=10,
+                               save=lambda: saved.append(2))
+    assert stop and saved == [2]
+    # preempt on the final epoch: save happens, loop just ends normally
+    stop = checkpoint_boundary(Always(), epoch=9, epochs=10, interval=10,
+                               save=lambda: saved.append(3))
+    assert not stop and saved == [2, 3]
+
+
 def test_sigterm_checkpoints_and_resume_completes(fake_dataset, tmp_path):
     """Real-signal e2e on the DCGAN trainer: SIGTERM mid-run → the loop
     finishes the epoch, force-saves an off-interval snapshot, exits 0
@@ -154,3 +191,53 @@ def test_classifier_preempt_fold_semantics(fake_dataset, tmp_path,
     hist = json.loads((metrics_dir /
                        "fold_1_baseline_training_history.json").read_text())
     assert len(hist["epoch"]) == 2
+
+
+def test_parallel_folds_preempt_semantics(fake_dataset, tmp_path,
+                                          monkeypatch):
+    """--parallel-folds preempt: the lockstep program leaves ALL folds
+    incomplete at a boundary stop, so run_parallel_cv withholds every
+    fold history and the caller writes no cv_summary (incomplete folds
+    averaged into the summary would silently bias it); a fresh rerun
+    trains from scratch and writes the full artifacts."""
+    import argparse
+
+    from xgan.train import classifier_loop, parallel_cv
+
+    def clf_args(**over):
+        base = dict(
+            data_dir=fake_dataset["data_dir"],
+            synthetic_dir=fake_dataset["synthetic_dir"],
+            model_dir=str(tmp_path / "models"),
+            output_dir=str(tmp_path / "results"),
+            results_dir=str(tmp_path / "results/metrics"),
+            figures_dir=str(tmp_path / "results/figures"),
+            epochs=2, batch_size=8, lr=1e-3, unfreeze=False, k_folds=2,
+            workers=0, use_synthetic=False, use_curriculum=False,
+            curriculum_schedule="0:0.0, 5:0.25, 10:0.5",
+            pretrained_path="", image_size=32, seed=0,
+            compute_dtype="f32", cache_dir=str(tmp_path / "cache"),
+            limit_batches=2, trace_dir="", cpu=True,
+            resnet_stages=(1, 1, 1, 1), parallel_folds=True)
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    monkeypatch.setattr(parallel_cv, "GracefulShutdown",
+                        lambda *a, **k: _Preempted())
+    assert classifier_loop.train_classifier(clf_args()) is None
+    metrics_dir = tmp_path / "results/metrics"
+    assert not (metrics_dir / "fold_1_baseline_training_history.json"
+                ).exists()
+    assert not (metrics_dir / "fold_2_baseline_training_history.json"
+                ).exists()
+    assert not (metrics_dir / "baseline_cv_summary.json").exists()
+
+    monkeypatch.undo()
+    summary = classifier_loop.train_classifier(clf_args())
+    assert summary is not None
+    assert (metrics_dir / "baseline_cv_summary.json").exists()
+    for f in (1, 2):
+        hist = json.loads(
+            (metrics_dir /
+             f"fold_{f}_baseline_training_history.json").read_text())
+        assert len(hist["epoch"]) == 2

@@ -38,10 +38,10 @@ from xgan.train.cgan import make_cgan_step
 from xgan.train.common import adam, create_state
 from xgan.train.ema import dispatch_with_ema, init_ema
 from xgan.train.gan_loop import load_train_store, resolve_dtype
-from xgan.train.loop_common import batch_tail_mask, gan_live_postfix, \
-    grid_iters, EpochProgress, GracefulShutdown, export_generator_pth, \
-    replay_data_rng, save_ema_final, \
-    resume_history, resume_preflight, trace_epoch
+from xgan.train.loop_common import batch_tail_mask, checkpoint_boundary, \
+    gan_live_postfix, grid_iters, EpochProgress, GracefulShutdown, \
+    export_generator_pth, preempt_notice, replay_data_rng, \
+    save_ema_final, resume_history, resume_preflight, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -276,9 +276,7 @@ def train_cgan(args):
                   f"Avg Loss_G: {em[:, 0].mean():.4f}, "
                   f"{timer.rate * batch_size:.1f} imgs/s")
 
-            if ((epoch + 1) % args.checkpoint_interval == 0
-                    or (epoch + 1) == args.epochs
-                    or shutdown.requested):  # preempt: force off-interval
+            def save_ckpt():
                 snap_mgr.save_file(os.path.join(
                     model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
                     g_state.variables())
@@ -294,22 +292,20 @@ def train_cgan(args):
                 snap_mgr.save_json(history_path, history)
                 print(f"Saved checkpoints for epoch {epoch + 1} to {model_dir}")
 
-            if shutdown.requested and (epoch + 1) < args.epochs:
-                preempted = epoch + 1  # snapshot just saved above
+            if checkpoint_boundary(shutdown, epoch, args.epochs,
+                                   args.checkpoint_interval, save_ckpt):
+                preempted = epoch + 1  # snapshot queued by save_ckpt
                 break
 
     finally:
-        # Land queued async writes on EVERY exit path: normally before
-        # the final saves below; on a crash so bytes for snapshots the
-        # loop already reported saved aren't lost with the daemon
-        # writer thread. Worker errors re-raise only on the clean path
-        # (they must not mask an in-flight exception).
-        shutdown.restore()
-        snap_mgr.flush(reraise=sys.exc_info()[0] is None)
+        # Flush queued async writes on EVERY exit path, BEFORE restoring
+        # signal handlers (ordering rationale: gan_loop.py finally).
+        try:
+            snap_mgr.flush(reraise=sys.exc_info()[0] is None)
+        finally:
+            shutdown.restore()
     if preempted:
-        print(f"Preempted: training stopped after epoch {preempted} "
-              f"with a resumable snapshot; re-run with --resume-from "
-              "auto to continue.")
+        preempt_notice(preempted)
         return history
     print(f"Training finished in {time.time() - start:.2f} seconds.")
     save_variables(os.path.join(model_dir, "generator_final.msgpack"),

@@ -544,10 +544,13 @@ def train_classifier(args):
         kf = KFold(n_splits=args.k_folds, shuffle=True,
                    random_state=KFOLD_SEED)
         splits = list(kf.split(range(len(train_store))))
-        best_vars, fold_histories = run_parallel_cv(
+        result = run_parallel_cv(
             args, mesh_ctx, dtype, stores, splits, strategy=strategy,
             schedule=schedule, init_resnet=_init_resnet,
             synth_fallback=synth_fallback)
+        if result is None:  # preempted: notice already printed; no
+            return None     # summary from incomplete lockstep folds
+        best_vars, fold_histories = result
         fold_metrics = []
         for fold, bv in enumerate(best_vars):
             print(f"--- Evaluating Fold {fold + 1} Model on Test Set ---")

@@ -27,10 +27,10 @@ from xgan.parallel.tp import (model_parallel_from_args, shard_opt_state,
 from xgan.train.common import adam, create_state
 from xgan.train.ema import dispatch_with_ema, init_ema
 from xgan.train.gan import make_dcgan_step
-from xgan.train.loop_common import batch_tail_mask, gan_live_postfix, \
-    grid_iters, EpochProgress, GracefulShutdown, export_generator_pth, \
-    replay_data_rng, resume_history, resume_preflight, save_ema_final, \
-    trace_epoch
+from xgan.train.loop_common import batch_tail_mask, checkpoint_boundary, \
+    gan_live_postfix, grid_iters, EpochProgress, GracefulShutdown, \
+    export_generator_pth, preempt_notice, replay_data_rng, \
+    resume_history, resume_preflight, save_ema_final, trace_epoch
 from xgan.train.snapshot import SnapshotManager
 from xgan.utils import StepTimer, check_create_dir
 from xgan.utils.timer import maybe_trace
@@ -254,9 +254,7 @@ def train_dcgan(args):
                   f"Avg Loss_G: {em[:, 0].mean():.4f}, "
                   f"{timer.rate * batch_size:.1f} imgs/s")
 
-            if ((epoch + 1) % args.checkpoint_interval == 0
-                    or (epoch + 1) == args.epochs
-                    or shutdown.requested):  # preempt: force off-interval
+            def save_ckpt():
                 snap_mgr.save_file(os.path.join(
                     gan_model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
                     g_state.variables())
@@ -276,8 +274,9 @@ def train_dcgan(args):
                 print(f"Saved checkpoints for epoch {epoch + 1} "
                       f"to {gan_model_dir}")
 
-            if shutdown.requested and (epoch + 1) < args.epochs:
-                preempted = epoch + 1  # snapshot just saved above
+            if checkpoint_boundary(shutdown, epoch, args.epochs,
+                                   args.checkpoint_interval, save_ckpt):
+                preempted = epoch + 1  # snapshot queued by save_ckpt
                 break
 
     finally:
@@ -285,13 +284,18 @@ def train_dcgan(args):
         # the final saves below; on a crash so bytes for snapshots the
         # loop already reported saved aren't lost with the daemon
         # writer thread. Worker errors re-raise only on the clean path
-        # (they must not mask an in-flight exception).
-        shutdown.restore()
-        snap_mgr.flush(reraise=sys.exc_info()[0] is None)
+        # (they must not mask an in-flight exception). Flush BEFORE
+        # restoring handlers: the preempt snapshot's drain can take
+        # minutes over this relay, and a repeated SIGTERM in that window
+        # must hit the graceful handler (deliberate KeyboardInterrupt),
+        # not the restored default disposition (hard kill that silently
+        # drops a snapshot already reported saved).
+        try:
+            snap_mgr.flush(reraise=sys.exc_info()[0] is None)
+        finally:
+            shutdown.restore()
     if preempted:
-        print(f"Preempted: training stopped after epoch {preempted} "
-              f"with a resumable snapshot; re-run with --resume-from "
-              "auto to continue.")
+        preempt_notice(preempted)
         return history
     print(f"Training finished in {time.time() - start_time:.2f} seconds.")
     save_variables(os.path.join(gan_model_dir, "generator_final.msgpack"),

@@ -64,9 +64,14 @@ class GracefulShutdown:
         if self.requested:  # second signal: unwind now (finally blocks
             raise KeyboardInterrupt  # still flush queued writes)
         self.requested = True
-        print(f"\nReceived signal {signum}: will checkpoint and stop "
-              f"{self._what} at the end of this epoch "
-              "(signal again to abort immediately).")
+        # os.write, not print(): a signal landing while the main thread
+        # is mid-write on buffered stdout makes print() raise "reentrant
+        # call inside BufferedWriter" INSIDE the training loop — killing
+        # the run mid-epoch with no snapshot, the exact failure this
+        # class exists to prevent. Raw fd writes take no buffer lock.
+        os.write(2, (f"\nReceived signal {signum}: will checkpoint and "
+                     f"stop {self._what} at the end of this epoch "
+                     "(signal again to abort immediately).\n").encode())
 
     def restore(self):
         import signal
@@ -77,6 +82,35 @@ class GracefulShutdown:
     def __exit__(self, *exc):
         self.restore()
         return False
+
+
+def checkpoint_boundary(shutdown: GracefulShutdown, epoch: int,
+                        epochs: int, interval: int, save) -> bool:
+    """Epoch-boundary checkpoint gate + preemption decision, shared by
+    the three GAN loops.
+
+    Latches ``shutdown.requested`` exactly ONCE so the same value gates
+    both the forced off-interval snapshot and the stop decision — two
+    separate reads let a signal landing between them break the loop
+    WITHOUT the snapshot the preempt notice then promises exists (a
+    fresh run with epoch+1 < checkpoint_interval would have NO snapshot
+    at all, so --resume-from auto would silently restart from scratch).
+
+    Calls ``save()`` when a checkpoint is due (interval hit, final
+    epoch, or preempt); returns True when the loop should stop early —
+    the epoch's snapshot is guaranteed queued in that case."""
+    stop = bool(shutdown.requested)
+    if (epoch + 1) % interval == 0 or (epoch + 1) == epochs or stop:
+        save()
+    return stop and (epoch + 1) < epochs
+
+
+def preempt_notice(preempted_epoch: int) -> None:
+    """The (single, shared) operator-facing message for a preempted GAN
+    run: the epoch-boundary snapshot exists, resume continues it."""
+    print(f"Preempted: training stopped after epoch {preempted_epoch} "
+          "with a resumable snapshot; re-run with --resume-from auto "
+          "to continue.")
 
 
 def resume_history(history_path: str, history: dict, start_epoch: int):

@@ -21,7 +21,7 @@ from xgan.io_.metrics import write_json
 from xgan.train.classifier import classifier_optimizer
 from xgan.train.common import ModelState
 from xgan.train.curriculum import get_current_synthetic_ratio
-from xgan.train.loop_common import trace_epoch
+from xgan.train.loop_common import GracefulShutdown, trace_epoch
 from xgan.utils.timer import maybe_trace
 from xgan.train.parallel_folds import (fold_epoch_batches, fold_masks,
                                        fold_mesh,
@@ -42,7 +42,13 @@ def _fold_metrics(acc_list, n_valid):
 def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
                     schedule, init_resnet, synth_fallback=False):
     """splits: list of (train_idx, val_idx) per fold. Returns
-    (best_vars_per_fold, histories).
+    (best_vars_per_fold, histories), or None when preempted (SIGTERM/
+    SIGINT): the lockstep program trains every fold simultaneously, so
+    a preempt at an epoch boundary leaves ALL folds incomplete — the
+    per-fold history JSONs (the fold-completion markers the sequential
+    path's --resume-from auto reads) are withheld and no summary is
+    written, so a re-run retrains from scratch instead of averaging
+    fewer-epoch folds into the CV summary.
 
     ``synth_fallback``: the synthetic dir exists but is empty — same
     reference semantics as the sequential path (classifier_loop): the
@@ -112,6 +118,42 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
         {"params": unstack_state(stacked, f).params,
          "batch_stats": unstack_state(stacked, f).batch_stats})
         for f in range(k)]
+    preempted = 0
+    # SIGTERM/SIGINT → finish the in-flight epoch (all folds advance in
+    # lockstep), stop at the boundary. Same epoch-granular discipline as
+    # the sequential path; see the preempt contract in the docstring.
+    shutdown = GracefulShutdown("parallel cross-validation")
+    shutdown.install()
+    try:
+        preempted = _epoch_loop(
+            args, strategy, schedule, synth_pools, synth_dev, real_dev,
+            train_spaces, val_spaces, batch_size, data_rng, k_train,
+            train_step, eval_step, stacked, histories, best_acc,
+            best_vars, k, shutdown)
+    finally:
+        shutdown.restore()
+    if preempted:
+        print(f"Preempted: parallel {k}-fold CV stopped after epoch "
+              f"{preempted}/{args.epochs}; fold histories and the CV "
+              "summary are withheld (lockstep folds are all incomplete) "
+              "— re-run to train from scratch.")
+        return None
+
+    for f in range(k):
+        write_json(os.path.join(
+            args.results_dir,
+            f"fold_{f + 1}_{strategy}_training_history.json"),
+            histories[f])
+        print(f"Fold {f + 1} best val acc: {best_acc[f]:.4f}")
+    return best_vars, histories
+
+
+def _epoch_loop(args, strategy, schedule, synth_pools, synth_dev,
+                real_dev, train_spaces, val_spaces, batch_size, data_rng,
+                k_train, train_step, eval_step, stacked, histories,
+                best_acc, best_vars, k, shutdown):
+    """The lockstep epoch loop; returns the preempting epoch (0 = ran to
+    completion). Mutates histories/best_acc/best_vars in place."""
     step_counter = 0
 
     for epoch in range(args.epochs):
@@ -209,10 +251,8 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
               f"{strategy}] ratio={ratio:.2f} "
               f"mean val acc {mean_val:.4f} ({time.time() - t0:.1f}s)")
 
-    for f in range(k):
-        write_json(os.path.join(
-            args.results_dir,
-            f"fold_{f + 1}_{strategy}_training_history.json"),
-            histories[f])
-        print(f"Fold {f + 1} best val acc: {best_acc[f]:.4f}")
-    return best_vars, histories
+        # Epoch-boundary preempt poll (single read; a final-epoch signal
+        # just lets the run complete normally).
+        if shutdown.requested and (epoch + 1) < args.epochs:
+            return epoch + 1
+    return 0

@@ -25,10 +25,10 @@ from xgan.parallel.tp import (model_parallel_from_args, shard_opt_state,
 from xgan.train.common import adam, create_state
 from xgan.train.ema import dispatch_with_ema, init_ema
 from xgan.train.gan_loop import load_train_store, resolve_dtype
-from xgan.train.loop_common import batch_tail_mask, grid_iters, \
-    EpochProgress, GracefulShutdown, export_generator_pth, \
-    replay_data_rng, save_ema_final, resume_history, resume_preflight, \
-    trace_epoch, wgan_live_postfix
+from xgan.train.loop_common import batch_tail_mask, checkpoint_boundary, \
+    grid_iters, EpochProgress, GracefulShutdown, export_generator_pth, \
+    preempt_notice, replay_data_rng, save_ema_final, resume_history, \
+    resume_preflight, trace_epoch, wgan_live_postfix
 from xgan.train.snapshot import SnapshotManager
 from xgan.train.wgan import make_wgan_step
 from xgan.utils import StepTimer, check_create_dir
@@ -215,9 +215,7 @@ def train_wgan(args):
                   f"Avg Loss_G: {g_ep.mean():.4f}, "
                   f"{timer.rate * batch_size:.1f} imgs/s")
 
-            if ((epoch + 1) % args.checkpoint_interval == 0
-                    or (epoch + 1) == args.epochs
-                    or shutdown.requested):  # preempt: force off-interval
+            def save_ckpt():
                 snap_mgr.save_file(os.path.join(
                     model_dir, f"generator_epoch_{epoch + 1:03d}.msgpack"),
                     g_state.variables())
@@ -231,22 +229,20 @@ def train_wgan(args):
                 # history persists with the snapshot (see gan_loop.py)
                 snap_mgr.save_json(history_path, history)
 
-            if shutdown.requested and (epoch + 1) < args.epochs:
-                preempted = epoch + 1  # snapshot just saved above
+            if checkpoint_boundary(shutdown, epoch, args.epochs,
+                                   args.checkpoint_interval, save_ckpt):
+                preempted = epoch + 1  # snapshot queued by save_ckpt
                 break
 
     finally:
-        # Land queued async writes on EVERY exit path: normally before
-        # the final saves below; on a crash so bytes for snapshots the
-        # loop already reported saved aren't lost with the daemon
-        # writer thread. Worker errors re-raise only on the clean path
-        # (they must not mask an in-flight exception).
-        shutdown.restore()
-        snap_mgr.flush(reraise=sys.exc_info()[0] is None)
+        # Flush queued async writes on EVERY exit path, BEFORE restoring
+        # signal handlers (ordering rationale: gan_loop.py finally).
+        try:
+            snap_mgr.flush(reraise=sys.exc_info()[0] is None)
+        finally:
+            shutdown.restore()
     if preempted:
-        print(f"Preempted: training stopped after epoch {preempted} "
-              f"with a resumable snapshot; re-run with --resume-from "
-              "auto to continue.")
+        preempt_notice(preempted)
         return history
     save_variables(os.path.join(model_dir, "generator_final.msgpack"),
                    g_state.variables())
