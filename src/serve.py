@@ -69,6 +69,21 @@ def build_parser():
                         "8 on TPU (dispatch overhead dominates a b=1 "
                         "forward), 1 on CPU (compute-bound; batching "
                         "measured 0.7x there)")
+    p.add_argument("--max-queue", type=int, default=0,
+                   help="overload backpressure: reject a request with "
+                        "503 + Retry-After the moment this many are "
+                        "already waiting for the device (each queued "
+                        "request parks a handler thread holding its "
+                        "decoded payload, so an unbounded queue turns a "
+                        "flood into thread/memory growth + client "
+                        "timeouts). 0 = auto: max(32, 4*max_batch); "
+                        "negative = unbounded")
+    p.add_argument("--drain-grace", type=float, default=30.0,
+                   help="seconds to let in-flight requests finish after "
+                        "SIGTERM/SIGINT before the server stops; during "
+                        "the drain /healthz turns 503 (draining: true) "
+                        "so orchestrators pull the replica, and new "
+                        "POSTs get 503 + Retry-After")
     p.add_argument("--heartbeat", type=float, default=0.0,
                    help="device-liveness heartbeat period in seconds "
                         "(0 = off): a background thread runs the real "
@@ -103,7 +118,12 @@ class _Metrics:
         self.rows = 0           # real images inferred through the batcher
         self.padded = 0         # pad rows dispatched (bucket - occupancy)
         self.batch_size = {}    # dispatch occupancy n -> count
+        self.rejected = 0       # submits refused at --max-queue depth
         self.device = [0.0, 0, [0] * (len(self.LAT_BUCKETS) + 1)]
+
+    def observe_rejected(self):
+        with self.lock:
+            self.rejected += 1
 
     def _observe(self, holder, seconds):
         holder[0] += seconds
@@ -154,6 +174,8 @@ class _Metrics:
             out.append(f"xgan_batch_rows_total {self.rows}")
             out.append("# TYPE xgan_batch_padded_rows_total counter")
             out.append(f"xgan_batch_padded_rows_total {self.padded}")
+            out.append("# TYPE xgan_batch_rejected_total counter")
+            out.append(f"xgan_batch_rejected_total {self.rejected}")
             out.append("# TYPE xgan_batch_occupancy counter")
             for n, c in sorted(self.batch_size.items()):
                 out.append(f'xgan_batch_occupancy{{rows="{n}"}} {c}')
@@ -161,6 +183,18 @@ class _Metrics:
             self._hist_lines(out, "xgan_device_dispatch_seconds", "",
                              self.device)
             return "\n".join(out) + "\n"
+
+
+class Overloaded(Exception):
+    """Raised by _Batcher.submit when the wait queue is at --max-queue.
+
+    Fast-fail backpressure: without a bound, every request that arrives
+    while the device is behind parks a handler thread for up to the
+    submit timeout (300 s) holding its decoded payload — on a flood the
+    server accumulates hundreds of blocked threads + images while
+    /healthz stays green, and clients see timeouts instead of a signal
+    to back off. Rejecting at a bounded depth turns overload into an
+    immediate 503 + Retry-After the caller/LB can act on."""
 
 
 class _Batcher:
@@ -182,9 +216,11 @@ class _Batcher:
     /predict items are (s,s,3) uint8 images yielding (label, prob),
     /generate items are (key_data, label) yielding an image array."""
 
-    def __init__(self, run_bucket, max_batch: int, metrics=None):
+    def __init__(self, run_bucket, max_batch: int, metrics=None,
+                 max_queue: int = 0):
         self.run_bucket = run_bucket
         self.max_batch = max_batch
+        self.max_queue = max_queue  # 0 = unbounded
         self.metrics = metrics
         self.buckets = []
         b = 1
@@ -205,6 +241,16 @@ class _Batcher:
         slot = {"event": threading.Event(), "probe": probe}
         item = (payload, slot)
         with self.cond:
+            # probes bypass the bound: the heartbeat's job is to measure
+            # the DEVICE, and a full queue already implies its beat will
+            # time out behind the backlog — rejecting it would replace
+            # that real signal with a synthetic error
+            if (self.max_queue and not probe
+                    and len(self.queue) >= self.max_queue):
+                if self.metrics is not None:
+                    self.metrics.observe_rejected()
+                raise Overloaded(
+                    f"inference queue full ({self.max_queue} waiting)")
             self.queue.append(item)
             self.cond.notify()
         # bounded wait: this environment's TPU tunnel can HANG a device
@@ -422,6 +468,11 @@ def main():
         import jax
         mb = max(1, args.max_batch or (
             1 if jax.default_backend() == "cpu" else 8))
+        # queue bound (see Overloaded): deep enough that a healthy device
+        # never trips it (a few dispatches' worth), shallow enough that a
+        # wedged/slow one rejects in O(s), not O(submit-timeout)
+        mq = (args.max_queue if args.max_queue > 0
+              else (0 if args.max_queue < 0 else max(32, 4 * mb)))
         # compile before accepting traffic so the first request is fast;
         # inside the envelope: a malformed artifact must fail structured
         if desc["kind"] == "classifier":
@@ -438,7 +489,8 @@ def main():
                 return [(int(labels[i]), float(probs[i]))
                         for i in range(len(items))]
 
-            batcher = _Batcher(run_bucket, mb, metrics=metrics)
+            batcher = _Batcher(run_bucket, mb, metrics=metrics,
+                               max_queue=mq)
             for b in batcher.buckets:  # compile every bucket pre-traffic
                 desc["infer_batch"](np.zeros((b, size, size, 3), np.uint8))
         else:
@@ -457,7 +509,8 @@ def main():
                                   else desc["generate_batch"](kds))
                 return [imgs[i] for i in range(len(items))]
 
-            batcher = _Batcher(run_bucket, mb, metrics=metrics)
+            batcher = _Batcher(run_bucket, mb, metrics=metrics,
+                               max_queue=mq)
             for b in batcher.buckets:  # compile every bucket pre-traffic
                 kds = np.stack([_key_data(0)] * b)
                 img = np.asarray(
@@ -491,18 +544,29 @@ def main():
             batcher.submit(probe, timeout=beat_timeout, probe=True)
         heartbeat = _Heartbeat(beat, args.heartbeat)
 
+    # --- graceful drain (SIGTERM/SIGINT): same preemption contract as
+    # the trainers (loop_common.GracefulShutdown) applied to serving —
+    # finish what's in flight, refuse new work with a structured 503,
+    # flip /healthz to draining so an orchestrator pulls the replica,
+    # then exit 0. A second signal stops immediately.
+    draining = threading.Event()
+    active = [0]                 # in-flight POST bodies
+    active_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         # bound the per-connection socket: a client that under-delivers
         # Content-Length would otherwise pin a handler thread forever
         # (the read raises socket.timeout -> OSError barrier below)
         timeout = 120
 
-        def _json(self, code, obj):
+        def _json(self, code, obj, retry_after=None):
             self._code = code
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if retry_after is not None:
+                self.send_header("Retry-After", str(retry_after))
             self.end_headers()
             self.wfile.write(body)
 
@@ -533,6 +597,9 @@ def main():
                     payload.update(hs)
                     if not ok:  # readiness semantics: pull the replica
                         code = 503  # out of rotation, payload says why
+                if draining.is_set():
+                    payload["draining"] = True
+                    code = 503
                 self._json(code, payload)
             elif self.path == "/metrics":
                 self._code = 200
@@ -557,12 +624,23 @@ def main():
             return self.rfile.read(n)
 
         def do_POST(self):
+            # gauge BEFORE the body read: a client mid-upload is work in
+            # flight the drainer must wait for, not a thread to abandon
+            with active_lock:
+                active[0] += 1
             try:
                 self._observed(self._post)
             except OSError:
                 pass  # client went away mid-request/response
+            finally:
+                with active_lock:
+                    active[0] -= 1
 
         def _post(self):
+            if draining.is_set():
+                self._json(503, {"error": "server draining"},
+                           retry_after=1)
+                return
             if self.path == "/predict" and kind == "classifier":
                 body = self._read_body(64 * 1024 * 1024)
                 if body is None:
@@ -578,6 +656,9 @@ def main():
                     return
                 try:
                     label, prob = batcher.submit(u8)
+                except Overloaded as e:  # backpressure: tell the client
+                    self._json(503, {"error": str(e)}, retry_after=1)
+                    return
                 except TimeoutError as e:  # before OSError: subclass
                     self._json(503, {"error": str(e)})
                     return
@@ -627,6 +708,9 @@ def main():
                     img = batcher.submit((_key_data(seed), label))
                     buf = io.BytesIO()
                     Image.fromarray(img).save(buf, format="PNG")
+                except Overloaded as e:  # backpressure: tell the client
+                    self._json(503, {"error": str(e)}, retry_after=1)
+                    return
                 except TimeoutError as e:  # before OSError: subclass
                     self._json(503, {"error": str(e)})
                     return
@@ -660,12 +744,48 @@ def main():
         request_queue_size = 128
 
     srv = Server((args.host, args.port), Handler)
+
+    import signal
+    sig_count = [0]
+
+    def _drainer():
+        deadline = time.time() + max(0.0, args.drain_grace)
+        while time.time() < deadline:
+            with active_lock:
+                if active[0] == 0:
+                    break
+            time.sleep(0.05)
+        srv.shutdown()
+
+    def _on_signal(signum, frame):  # runs on the serve_forever thread:
+        sig_count[0] += 1           # only set flags / spawn threads here
+        # (srv.shutdown() from this frame would deadlock: it waits for
+        # the serve loop this handler interrupted to notice the flag)
+        if sig_count[0] == 1:
+            draining.set()
+            print("Draining: refusing new requests; waiting up to "
+                  f"{args.drain_grace:.0f}s for in-flight ones "
+                  "(signal again to stop now)", flush=True)
+            threading.Thread(target=_drainer, daemon=True).start()
+        else:
+            threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_signal)
+        signal.signal(signal.SIGINT, _on_signal)
+    except ValueError:
+        pass  # not the main thread (in-process tests drive main() from
+        # worker threads); drain stays reachable via KeyboardInterrupt
+
     print(f"Serving {model_name} ({kind}, image_size={size}) on "
           f"http://{args.host}:{srv.server_address[1]}")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
+    srv.server_close()
+    if draining.is_set():
+        print("Drained; exiting.", flush=True)
 
 
 if __name__ == "__main__":

@@ -618,3 +618,130 @@ def test_batcher_probe_submissions_excluded_from_metrics():
     assert m.batch_size == {} and m.device[1] == 0
     b.submit("real")  # real traffic still counts
     assert m.batches == 1 and m.rows == 1 and m.device[1] == 1
+
+
+def test_batcher_backpressure_overload():
+    """--max-queue backpressure: once max_queue requests are waiting
+    behind a busy device, the next submit raises Overloaded IMMEDIATELY
+    (fast-fail 503 material, not another parked thread), probes bypass
+    the bound so the heartbeat keeps measuring the device, and the
+    rejection lands in /metrics as xgan_batch_rejected_total."""
+    import threading
+    import time as _time
+
+    mod = _load_serve_mod()
+    entered, release = threading.Event(), threading.Event()
+
+    def blocking_run(items, bucket):
+        entered.set()
+        release.wait(30)
+        return ["ok"] * len(items)
+
+    metrics = mod._Metrics()
+    b = mod._Batcher(blocking_run, max_batch=1, metrics=metrics,
+                     max_queue=2)
+    results = []
+    threads = [threading.Thread(
+        target=lambda: results.append(b.submit("p", timeout=30)),
+        daemon=True) for _ in range(3)]
+    threads[0].start()
+    assert entered.wait(10)  # the worker is now blocked in-flight
+    threads[1].start()
+    threads[2].start()
+    deadline = _time.time() + 10
+    while _time.time() < deadline:  # both followers queued behind it
+        with b.cond:
+            if len(b.queue) == 2:
+                break
+        _time.sleep(0.01)
+    with b.cond:
+        assert len(b.queue) == 2
+    t0 = _time.time()
+    with pytest.raises(mod.Overloaded):
+        b.submit("p4", timeout=30)
+    assert _time.time() - t0 < 1.0  # rejected at submit, no blocking
+    probe_res = []
+    pt = threading.Thread(target=lambda: probe_res.append(
+        b.submit("probe", timeout=30, probe=True)), daemon=True)
+    pt.start()
+    release.set()
+    for t in threads:
+        t.join(timeout=15)
+    pt.join(timeout=15)
+    assert results == ["ok"] * 3 and probe_res == ["ok"]
+    assert metrics.rejected == 1
+    assert "xgan_batch_rejected_total 1" in metrics.render()
+
+
+def test_serve_graceful_drain(tmp_path):
+    """SIGTERM drain contract (the serving twin of the trainers'
+    GracefulShutdown): the in-flight request still gets its 200, new
+    POSTs get a structured 503 server-draining, /healthz flips to 503
+    with draining:true so an orchestrator pulls the replica, and the
+    process exits 0 once the in-flight work is done."""
+    import signal
+    import socket
+
+    from xgan.io_.export import export_generator, save_exported
+    from xgan.models.dcgan import Generator
+
+    model = Generator(latent_dim=16, feature_maps=8, image_size=32)
+    v = model.init(jax.random.key(1), jnp.zeros((1, 16)), train=False)
+    v = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    path = str(tmp_path / "gen.stablehlo")
+    save_exported(path, export_generator(model, v, 16))
+
+    proc, port = _start(path)
+    try:
+        body = json.dumps({"seed": 3}).encode()
+        # hold the last body byte back: the request enters the handler
+        # (active gauge up, draining check passed) and blocks reading
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        s.sendall(b"POST /generate HTTP/1.1\r\nHost: x\r\n"
+                  b"Connection: close\r\n"
+                  + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                  + body[:1])
+        time.sleep(1.0)  # let the handler thread enter the body read
+        proc.send_signal(signal.SIGTERM)
+
+        # /healthz flips to 503 draining while the server stays up
+        drained_health = None
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz",
+                        timeout=10) as r:
+                    pass  # not draining yet
+            except urllib.error.HTTPError as e:
+                if e.code == 503:
+                    drained_health = json.loads(e.read())
+                    break
+            time.sleep(0.05)
+        assert drained_health is not None
+        assert drained_health.get("draining") is True
+
+        # new work is refused with a structured, retryable 503
+        status, out = _post(port, "/generate",
+                            json.dumps({"seed": 1}).encode())
+        assert status == 503 and "draining" in out["error"]
+
+        # ...but the in-flight request completes normally
+        s.sendall(body[1:])
+        s.settimeout(60)
+        buf = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+        s.close()
+        head, _, payload = buf.partition(b"\r\n\r\n")
+        assert b"200" in head.split(b"\r\n", 1)[0]
+        assert payload.startswith(b"\x89PNG")
+
+        assert proc.wait(timeout=30) == 0  # clean exit after the drain
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
