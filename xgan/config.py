@@ -90,6 +90,19 @@ def add_gan_train_args(p: argparse.ArgumentParser, *, epochs: int,
     p.add_argument("--save-interval", type=int, default=save_interval)
     p.add_argument("--checkpoint-interval", type=int,
                    default=checkpoint_interval)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="Split every D/critic and G update into K "
+                        "sequential microbatches inside the one program: "
+                        "gradients accumulate, one optimizer update "
+                        "fires per update, and only one microbatch's "
+                        "activations are live (~K× activation-memory "
+                        "reduction — the effective-batch lever for "
+                        "batches past the fused step's HBM ceiling; for "
+                        "WGAN-GP this covers the GP double-backward, "
+                        "the most memory-hungry backward in the repo). "
+                        "BN batch statistics are per-microbatch (torch "
+                        "accumulation semantics). Must divide the batch "
+                        "size.")
     p.add_argument("--ema-decay", type=_ema_decay, default=0.0,
                    help="Keep an exponential moving average of the "
                         "generator weights (e.g. 0.999) and save it as "

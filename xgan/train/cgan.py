@@ -49,7 +49,7 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
                    latent_dim: int, dtype=jnp.float32,
                    batch_sharding=None, donate: bool = True,
                    steps_per_call: int = 1, store_take=None,
-                   ema_decay=None):
+                   ema_decay=None, grad_accum: int = 1):
     """Returns jitted step(g_state, d_state, vgg_params, images_u8,
     labels_all, idx, epoch, key) -> (g_state, d_state, metrics[7]) with
     metrics = [loss_G, loss_D, D_x, D_G_z1, D_G_z2, perceptual, fm].
@@ -62,10 +62,20 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
     epoch loop (see make_dcgan_step).
 
     With ``ema_decay`` set, both forms take/return the generator-EMA
-    tree as the third argument/output (see xgan.train.ema)."""
+    tree as the third argument/output (see xgan.train.ema).
 
-    def step(g_state: ModelState, d_state: ModelState, vgg_params,
-             images_u8, labels_all, idx, epoch, key, mask=None):
+    ``grad_accum=A > 1``: the D and G updates each walk the batch as A
+    sequential microbatches inside the one program — torch
+    gradient-accumulation semantics exactly as make_dcgan_step's
+    ``grad_accum`` (per-microbatch BN batch stats, full-batch-drawn
+    noise/labels/targets sliced, valid-row loss-SUM gradients divided
+    by the full batch's valid count, G forwards recomputed in the G
+    phase from recorded input stats). The adaptive gate evaluates on
+    the ACCUMULATED full-batch D(x)/D(G(z)) means, identical to the
+    K=1 gate inputs. Pinned in tests/test_gan_grad_accum.py."""
+
+    def step_plain(g_state: ModelState, d_state: ModelState, vgg_params,
+                   images_u8, labels_all, idx, epoch, key, mask=None):
         # ``mask`` (None or (B,) 0/1 float): tail-exact semantics for the
         # wrap-padded final batch — see make_dcgan_step.
         mkw = {} if mask is None else {"mask": mask}
@@ -152,6 +162,217 @@ def make_cgan_step(g_model, d_model, vgg_model, g_tx, d_tx, *,
         metrics = jnp.stack([loss_g, loss_d, d_x, d_g_z1, d_g_z2,
                              perc, fm])
         return g_state, d_state, metrics
+
+    def step_accum(g_state: ModelState, d_state: ModelState, vgg_params,
+                   images_u8, labels_all, idx, epoch, key, mask=None):
+        # grad_accum=A: same PRNG draws and loss functional as
+        # step_plain, microbatched (see make_dcgan_step.step_accum for
+        # the freeze/kill discipline rationale).
+        from xgan.ops.reduce import per_sample_mse
+
+        A = grad_accum
+        b_full = idx.shape[0]
+        if b_full % A:
+            raise ValueError(
+                f"grad_accum={A} must divide batch size {b_full}")
+        mb = b_full // A
+
+        def split(x, shard_rows=False):
+            x = x.reshape((A, mb) + x.shape[1:])
+            if shard_rows and batch_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(batch_sharding.mesh,
+                                     PartitionSpec(
+                                         None, *batch_sharding.spec)))
+            return x
+
+        k_flip, k_noise, k_lab, k_rs, k_fs = jax.random.split(key, 5)
+        real = gather_preprocess(images_u8, idx, k_flip, train=True,
+                                 dtype=dtype, batch_sharding=batch_sharding,
+                                 take=store_take)
+        real_k = split(real, shard_rows=True)
+        rlab_k = split(jnp.take(labels_all, idx, axis=0))
+        rt_k = split(0.9 - 0.1 * jax.random.uniform(k_rs, (b_full,)))
+        ft_k = split(0.1 + 0.1 * jax.random.uniform(k_fs, (b_full,)))
+        noise_k = split(jax.random.normal(k_noise, (b_full, latent_dim),
+                                          jnp.float32))
+        flab_k = split(jax.random.randint(k_lab, (b_full,), 0,
+                                          g_model.num_classes))
+        mask_k = None if mask is None else mask.reshape(A, mb)
+        w_total = (jnp.float32(b_full) if mask is None else
+                   jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1e-9))
+
+        def guarded_sum(per_sample, mask_mb):
+            per_sample = per_sample.astype(jnp.float32)
+            if mask_mb is None:
+                return jnp.sum(per_sample)
+            return jnp.sum(jnp.where(mask_mb > 0, per_sample, 0.0))
+
+        def bce_sum(logits, targets, mask_mb):
+            return guarded_sum(optax.sigmoid_binary_cross_entropy(
+                logits.astype(jnp.float32), targets), mask_mb)
+
+        def feats_mse_sum(feats_a, feats_b, mask_mb):
+            # row-sum form of ops.reduce.layerwise_mse: Σ_layers
+            # Σ_valid-rows per-sample MSE (divide by W once at the end)
+            total = jnp.float32(0.0)
+            for a, b in zip(feats_a, feats_b):
+                total = total + guarded_sum(per_sample_mse(a, b), mask_mb)
+            return total
+
+        def freeze(ok, new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old)
+
+        def kill(ok, grads):
+            return jax.tree_util.tree_map(
+                lambda t: jnp.where(ok, t, jnp.zeros_like(t)), grads)
+
+        # --- D phase: G forward per microbatch (advances G running
+        # stats; input stats recorded for the G phase) + D loss-sum
+        # gradient accumulation.
+        def d_micro(carry, xs):
+            g_stats, d_stats, gsum, sums = carry
+            if mask_k is None:
+                real_mb, rlab_mb, rt_mb, ft_mb, noise_mb, flab_mb = xs
+                mask_mb, mkw = None, {}
+            else:
+                (real_mb, rlab_mb, rt_mb, ft_mb, noise_mb, flab_mb,
+                 mask_mb) = xs
+                mkw = {"mask": mask_mb}
+            g_stats_in = g_stats
+            fake, g_upd = g_model.apply(
+                {"params": g_state.params, "batch_stats": g_stats},
+                noise_mb, flab_mb, train=True, mutable=["batch_stats"],
+                **mkw)
+            fake = jax.lax.stop_gradient(fake)
+
+            def d_loss_sum(d_params):
+                logits_real, upd1 = d_model.apply(
+                    {"params": d_params, "batch_stats": d_stats},
+                    real_mb, rlab_mb, train=True,
+                    mutable=["batch_stats"], **mkw)
+                logits_fake, upd2 = d_model.apply(
+                    {"params": d_params,
+                     "batch_stats": upd1["batch_stats"]},
+                    fake, flab_mb, train=True, mutable=["batch_stats"],
+                    **mkw)
+                s = (bce_sum(logits_real, rt_mb, mask_mb)
+                     + bce_sum(logits_fake, ft_mb, mask_mb))
+                dx_s = guarded_sum(jax.nn.sigmoid(
+                    logits_real.astype(jnp.float32)), mask_mb)
+                dgz1_s = guarded_sum(jax.nn.sigmoid(
+                    logits_fake.astype(jnp.float32)), mask_mb)
+                return s, (upd2["batch_stats"], dx_s, dgz1_s)
+
+            (s, (d_stats2, dx_s, dgz1_s)), g = jax.value_and_grad(
+                d_loss_sum, has_aux=True)(d_state.params)
+            g_stats_new = g_upd["batch_stats"]
+            if mask_mb is not None:
+                ok = jnp.sum(mask_mb) > 0
+                d_stats2 = freeze(ok, d_stats2, d_stats)
+                g_stats_new = freeze(ok, g_stats_new, g_stats)
+                g = kill(ok, g)
+                s, dx_s, dgz1_s = (jnp.where(ok, v, 0.0)
+                                   for v in (s, dx_s, dgz1_s))
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            sums = tuple(a + b for a, b in zip(sums, (s, dx_s, dgz1_s)))
+            return (g_stats_new, d_stats2, gsum, sums), g_stats_in
+
+        xs = [real_k, rlab_k, rt_k, ft_k, noise_k, flab_k]
+        if mask_k is not None:
+            xs.append(mask_k)
+        zeros_d = jax.tree_util.tree_map(jnp.zeros_like, d_state.params)
+        (g_stats, d_stats2, d_gsum, (ds, dxs, dgz1s)), g_stats_seq = \
+            jax.lax.scan(d_micro,
+                         (g_state.batch_stats, d_state.batch_stats,
+                          zeros_d, (jnp.float32(0.0),) * 3), tuple(xs))
+        loss_d = ds / w_total
+        d_x = dxs / w_total
+        d_g_z1 = dgz1s / w_total
+
+        # Adaptive gate on the accumulated full-batch means — identical
+        # inputs to the K=1 gate (train_cgan.py:176-178); BN stats
+        # always advance.
+        d_grads = jax.tree_util.tree_map(lambda g: g / w_total, d_gsum)
+        gate = jnp.logical_or(jnp.logical_or(d_x < 0.8, d_g_z1 > 0.2),
+                              epoch < 5)
+        updated = apply_updates(d_tx, d_state, d_grads, d_stats2)
+        skipped = d_state.replace(batch_stats=d_stats2)
+        d_state = jax.lax.cond(gate, lambda: updated, lambda: skipped)
+
+        # --- G phase through the (possibly) updated D: recompute each
+        # microbatch's fake from its recorded input stats.
+        def g_micro(carry, xs):
+            d_stats, gsum, sums = carry
+            if mask_k is None:
+                (noise_mb, flab_mb, real_mb, rlab_mb, rt_mb,
+                 g_stats_in) = xs
+                mask_mb, mkw = None, {}
+            else:
+                (noise_mb, flab_mb, real_mb, rlab_mb, rt_mb, g_stats_in,
+                 mask_mb) = xs
+                mkw = {"mask": mask_mb}
+
+            def g_loss_sum(g_params):
+                fake, _ = g_model.apply(
+                    {"params": g_params, "batch_stats": g_stats_in},
+                    noise_mb, flab_mb, train=True,
+                    mutable=["batch_stats"], **mkw)
+                (logits, fake_feats), upd3 = d_model.apply(
+                    {"params": d_state.params, "batch_stats": d_stats},
+                    fake, flab_mb, train=True, features=True,
+                    mutable=["batch_stats"], **mkw)
+                (_, real_feats), upd4 = d_model.apply(
+                    {"params": d_state.params,
+                     "batch_stats": upd3["batch_stats"]},
+                    real_mb, rlab_mb, train=True, features=True,
+                    mutable=["batch_stats"], **mkw)
+                adv_s = bce_sum(logits, rt_mb, mask_mb)
+                vf = vgg_model.apply({"params": vgg_params}, fake)
+                vr = jax.tree.map(
+                    jax.lax.stop_gradient,
+                    vgg_model.apply({"params": vgg_params}, real_mb))
+                perc_s = feats_mse_sum(vf, vr, mask_mb)
+                fm_s = feats_mse_sum(real_feats, fake_feats, mask_mb)
+                s = (adv_s + PERCEPTUAL_WEIGHT * perc_s
+                     + FM_WEIGHT * fm_s)
+                dgz2_s = guarded_sum(jax.nn.sigmoid(
+                    logits.astype(jnp.float32)), mask_mb)
+                return s, (upd4["batch_stats"], dgz2_s, perc_s, fm_s)
+
+            (s, (d_stats4, dgz2_s, perc_s, fm_s)), g = jax.value_and_grad(
+                g_loss_sum, has_aux=True)(g_state.params)
+            if mask_mb is not None:
+                ok = jnp.sum(mask_mb) > 0
+                d_stats4 = freeze(ok, d_stats4, d_stats)
+                g = kill(ok, g)
+                s, dgz2_s, perc_s, fm_s = (
+                    jnp.where(ok, v, 0.0)
+                    for v in (s, dgz2_s, perc_s, fm_s))
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            sums = tuple(a + b for a, b in zip(
+                sums, (s, dgz2_s, perc_s, fm_s)))
+            return (d_stats4, gsum, sums), None
+
+        xs = [noise_k, flab_k, real_k, rlab_k, rt_k, g_stats_seq]
+        if mask_k is not None:
+            xs.append(mask_k)
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, g_state.params)
+        (d_stats4, g_gsum, (gs, dgz2s, percs, fms)), _ = jax.lax.scan(
+            g_micro, (d_state.batch_stats, zeros_g,
+                      (jnp.float32(0.0),) * 4), tuple(xs))
+        g_grads = jax.tree_util.tree_map(lambda g: g / w_total, g_gsum)
+        g_state = apply_updates(g_tx, g_state, g_grads, g_stats)
+        d_state = d_state.replace(batch_stats=d_stats4)
+
+        metrics = jnp.stack([gs / w_total, loss_d, d_x, d_g_z1,
+                             dgz2s / w_total, percs / w_total,
+                             fms / w_total])
+        return g_state, d_state, metrics
+
+    step = step_accum if grad_accum > 1 else step_plain
 
     donate_args = (() if not donate
                    else (0, 1, 2) if ema_decay is not None else (0, 1))

@@ -118,10 +118,17 @@ def train_dcgan(args):
     # inside it, so training is untouched; see xgan/train/ema.py)
     ema_decay = float(getattr(args, "ema_decay", 0.0) or 0.0)
     ema = init_ema(g_state.params) if ema_decay > 0 else None
+    ga = int(getattr(args, "grad_accum", 1) or 1)
+    if ga > 1 and batch_size % ga:
+        print(f"Note: --grad-accum {ga} does not divide the "
+              f"(device-padded) batch size {batch_size}; running "
+              "without accumulation.")
+        ga = 1
     step_kwargs = dict(latent_dim=args.latent_dim, dtype=dtype,
                        batch_sharding=mesh_ctx.batch_sharding(4),
                        store_take=device_store.take,
-                       ema_decay=ema_decay if ema is not None else None)
+                       ema_decay=ema_decay if ema is not None else None,
+                       grad_accum=ga)
     step_fn = make_dcgan_step(g_model, d_model, g_tx, d_tx, **step_kwargs)
     # K>1: a second program that runs K steps per dispatch (lax.scan over
     # the same body, identical PRNG stream); the tail of an epoch that

@@ -90,12 +90,19 @@ def train_wgan(args):
     # (write-only inside it; see xgan/train/ema.py)
     ema_decay = float(getattr(args, "ema_decay", 0.0) or 0.0)
     ema = init_ema(g_state.params) if ema_decay > 0 else None
+    ga = int(getattr(args, "grad_accum", 1) or 1)
+    if ga > 1 and batch_size % ga:
+        print(f"Note: --grad-accum {ga} does not divide the "
+              f"(device-padded) batch size {batch_size}; running "
+              "without accumulation.")
+        ga = 1
     step_kwargs = dict(latent_dim=args.latent_dim,
                        critic_iters=args.critic_iters,
                        lambda_gp=args.lambda_gp, dtype=dtype,
                        batch_sharding=mesh_ctx.batch_sharding(4),
                        store_take=device_store.take,
-                       ema_decay=ema_decay if ema is not None else None)
+                       ema_decay=ema_decay if ema is not None else None,
+                       grad_accum=ga)
     step_fn = make_wgan_step(g_model, c_model, g_tx, c_tx, **step_kwargs)
     # K>1: K steps per dispatch; epoch tails use the single-step program.
     k_steps = max(1, int(getattr(args, "steps_per_call", 1) or 1))
