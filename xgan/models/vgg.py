@@ -12,6 +12,7 @@ known-working fallback) and a warning is printed by the trainer.
 """
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -59,13 +60,33 @@ class VGG16Features(nn.Module):
         return f1, f2, f3
 
 
-def perceptual_loss(vgg_apply, vgg_params, x, y, weights=None):
+def perceptual_loss(vgg_apply, vgg_params, x, y, weights=None,
+                    concat=None):
     """Sum of per-block MSEs, as in reference train_cgan.py:66-73.
     ``weights``: optional (B,) validity weights — each block's mean then
     covers only valid rows (tail-exact smaller final batch). An all-zero
     mask avoids 0/0 but does NOT launder NaN activations from padded
     rows (see ops.reduce.weighted_mean); callers freeze/drop such
-    batches."""
-    fx = vgg_apply(vgg_params, x)
-    fy = vgg_apply(vgg_params, y)
+    batches.
+
+    ``concat`` (default: env ``XGAN_VGG_CONCAT=1``): run ONE 2B-batch VGG
+    forward over concat([x, y]) instead of two B-batch forwards — the
+    candidate MXU-utilization lever for the CGAN step (VERDICT r3 next
+    #3). ``y`` is a constant wrt the differentiated input in the CGAN
+    step (real images), so the y half is stop_gradient'ed either way;
+    the trade is one bigger forward vs dragging the y rows into the VGG
+    input-gradient convs (tools/bench_cgan_concat.py is the arbiter —
+    see CLAUDE.md for the measured verdict)."""
+    if concat is None:
+        concat = os.environ.get("XGAN_VGG_CONCAT", "") == "1"
+    if concat:
+        b = x.shape[0]
+        feats = vgg_apply(
+            vgg_params,
+            jnp.concatenate([x, jax.lax.stop_gradient(y)], axis=0))
+        fx = tuple(f[:b] for f in feats)
+        fy = tuple(jax.lax.stop_gradient(f[b:]) for f in feats)
+    else:
+        fx = vgg_apply(vgg_params, x)
+        fy = jax.tree.map(jax.lax.stop_gradient, vgg_apply(vgg_params, y))
     return layerwise_mse(fx, fy, weights)
