@@ -1,0 +1,148 @@
+"""Multi-process (emulated multi-host) DP worker, launched by
+tests/test_multiprocess.py as ``python multiproc_worker.py PID NPROC PORT
+OUTDIR``.
+
+Each process owns 4 virtual CPU devices (XLA_FLAGS set by the launcher);
+``jax.distributed.initialize`` joins them into one 8-device global mesh
+— the same topology every single-process test emulates, but now spanning
+process boundaries, so the previously-unexecuted multi-host branches
+actually run (VERDICT r3 next #2):
+
+- ``DeviceStore``'s ``jax.make_array_from_process_local_data`` assembly
+  (xgan/data/pipeline.py:200-204),
+- the ``--shard-store`` multi-host degrade note (pipeline.py:183-186),
+- one DP DCGAN train step over the cross-process mesh (XLA's gradient
+  all-reduces + sync-BN reductions ride the cross-process transport),
+- process-0 snapshot write + reload of the post-step state.
+
+With NPROC=1 the identical code runs single-process over 8 local
+devices, producing the reference outputs the launcher compares against.
+"""
+import json
+import os
+import sys
+
+
+def host_tree(tree):
+    """Global (possibly non-fully-addressable) replicated tree -> host
+    numpy tree via each leaf's first addressable replica. jax.device_get
+    raises on arrays spanning non-addressable devices; for a replicated
+    array every process's local shard 0 holds the full value."""
+    import jax
+    import numpy as np
+
+    def fetch(x):
+        if hasattr(x, "addressable_data"):
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
+def main():
+    pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                sys.argv[3], sys.argv[4])
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nproc, process_id=pid)
+    assert jax.device_count() == 8, jax.devices()
+    assert jax.process_count() == nproc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xgan.data.pipeline import DeviceStore
+    from xgan.data.store import ImageStore
+    from xgan.models import dcgan
+    from xgan.parallel import create_mesh
+    from xgan.train.common import ModelState, adam, create_state
+    from xgan.train.gan import make_dcgan_step
+
+    size, latent, fm, batch = 32, 16, 8, 16
+    mesh_ctx = create_mesh()
+
+    def repl(tree):
+        """Replicate host values over the global mesh. Single-process:
+        plain device_put; multi-process: every process contributes its
+        identical local copy (deterministic construction below), the
+        documented multi-host assembly path."""
+        if nproc == 1:
+            return mesh_ctx.replicate(tree)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                mesh_ctx.replicated(), np.asarray(x)), tree)
+
+    # --- DeviceStore: multi-host assembly branch (process_count > 1)
+    rng = np.random.default_rng(0)
+    host_store = ImageStore(
+        images=rng.integers(0, 256, (40, size, size, 3), np.uint8),
+        labels=(np.arange(40) % 2).astype(np.int32), size=size)
+    store = DeviceStore(host_store, mesh_ctx)
+    assert len(store) == 40
+
+    # --- --shard-store degrade: multi-host sharding is not wired; the
+    # note must fire and the store must fall back to replicated.
+    if nproc > 1:
+        sharded = DeviceStore(host_store, mesh_ctx, shard=True)
+        assert not sharded.sharded, "--shard-store must degrade multi-host"
+
+    # --- one DP DCGAN fused step over the cross-process mesh
+    g_model = dcgan.Generator(latent_dim=latent, feature_maps=fm,
+                              image_size=size)
+    d_model = dcgan.Discriminator(feature_maps=fm, image_size=size)
+    g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+    k = jax.random.key(0)
+    g_host = create_state(g_model, g_tx, k, jnp.zeros((2, latent)),
+                          train=False)
+    d_host = create_state(d_model, d_tx, k,
+                          jnp.zeros((2, size, size, 3)), train=False)
+    g_state, d_state = repl(host_tree(g_host)), repl(host_tree(d_host))
+    step = make_dcgan_step(g_model, d_model, g_tx, d_tx,
+                           latent_dim=latent,
+                           batch_sharding=mesh_ctx.batch_sharding(4),
+                           donate=False)
+
+    # Typed PRNG keys cannot be np.asarray'd for the process-local
+    # assembly; ship the raw uint32 key data and re-wrap inside the
+    # jitted program.
+    @jax.jit
+    def step_kd(g_state, d_state, images, idx, key_data):
+        return step(g_state, d_state, images, idx,
+                    jax.random.wrap_key_data(key_data))
+
+    idx = jnp.arange(batch, dtype=jnp.int32)
+    kd = repl(np.asarray(jax.random.key_data(jax.random.key(1))))
+    g_state, d_state, metrics = step_kd(g_state, d_state, store.images,
+                                        idx, kd)
+    metrics = host_tree(metrics)
+    assert np.all(np.isfinite(metrics)), metrics
+
+    if pid == 0:
+        # --- process-0 snapshot write + reload roundtrip
+        from flax import serialization
+        params_host = host_tree(g_state.params)
+        snap_path = os.path.join(outdir, f"params_nproc{nproc}.msgpack")
+        with open(snap_path, "wb") as f:
+            f.write(serialization.to_bytes(params_host))
+        with open(snap_path, "rb") as f:
+            restored = serialization.from_bytes(params_host, f.read())
+        for a, b in zip(jax.tree_util.tree_leaves(params_host),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        print("RESULT " + json.dumps(
+            {"metrics": [float(x) for x in np.asarray(metrics)],
+             "nproc": nproc}), flush=True)
+
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("multiproc_worker_done")
+
+
+if __name__ == "__main__":
+    main()
