@@ -50,10 +50,14 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize bottleneck-block activations in "
                         "the backward pass (jax.checkpoint; identical "
-                        "numerics, ~1.2x step time). Buys HBM headroom "
-                        "when block-INTERNAL activations dominate; at "
-                        "ResNet-50/224 max batch is boundary-bound and "
-                        "unchanged (measured, tools/bench_remat.py)")
+                        "numerics, ~1.2x step time). DEMOTED after "
+                        "measurement: zero max-batch gain at every "
+                        "tested point on this chip — ResNet-50/224, "
+                        "/448, and ResNet-101 depth (stage-BOUNDARY "
+                        "activations dominate and per-block remat "
+                        "keeps them; tools/bench_remat.py, BENCH_DETAIL "
+                        "remat_*_ab). For effective batch size use "
+                        "--grad-accum, which measured 4x.")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="Split each batch into K sequential microbatches "
                         "inside one program: gradients accumulate, one "

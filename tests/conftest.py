@@ -27,6 +27,34 @@ import numpy as np
 import pytest
 from PIL import Image
 
+# Fast lane (VERDICT r3 next #7): the suite's wall time tripled r2->r3
+# on this 1-core host; these modules carry the long chains (multi-step
+# trajectory parity, composed-stack equality, end-to-end canaries,
+# subprocess preemption/multiprocess, 8-device equivalence sweeps,
+# sequential-reference accumulation contracts). They are marked `slow`
+# at collection so `pytest -m "not slow"` keeps the edit-test loop
+# under ~10 min while the full suite stays the CI gate. Durations
+# source: full-suite --durations run, 2026-08-20.
+SLOW_MODULES = {
+    "test_analysis", "test_bf16_quality", "test_canary_wgan_cgan",
+    "test_determinism", "test_ema", "test_export", "test_fold_resume",
+    "test_gan_grad_accum", "test_graft_entry", "test_grad_accum",
+    "test_multiprocess", "test_multistep", "test_parallel_cv",
+    "test_predict", "test_preempt", "test_quality_canary",
+    "test_reference_analyzer", "test_remat", "test_scaling_compose",
+    "test_serve", "test_sharding", "test_tail_exact",
+    "test_torch_trajectory", "test_tp", "test_wgan_grad_accum",
+    "test_zero1",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1] if item.module \
+            else ""
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def fake_dataset(tmp_path_factory):

@@ -28,14 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_step(remat: bool, batch: int, size: int, dtype):
+def build_step(remat: bool, batch: int, size: int, dtype,
+               stages=(3, 4, 6, 3)):
     import jax
     import jax.numpy as jnp
     from xgan.models.resnet import ResNet50
     from xgan.train.classifier import classifier_optimizer, make_train_step
     from xgan.train.common import ModelState
 
-    model = ResNet50(num_classes=2, remat=remat, dtype=dtype)
+    model = ResNet50(num_classes=2, remat=remat, dtype=dtype,
+                     stage_sizes=tuple(stages))
     tx = classifier_optimizer(1e-3, freeze_base=False)
     v = model.init(jax.random.key(0), jnp.zeros((2, size, size, 3)),
                    train=False)
@@ -57,11 +59,12 @@ def build_step(remat: bool, batch: int, size: int, dtype):
     return state, run
 
 
-def try_batch(remat: bool, batch: int, size: int, dtype) -> bool:
+def try_batch(remat: bool, batch: int, size: int, dtype,
+              stages=(3, 4, 6, 3)) -> bool:
     """True iff one train step at this batch compiles and runs."""
     import jax
     try:
-        state, run = build_step(remat, batch, size, dtype)
+        state, run = build_step(remat, batch, size, dtype, stages)
         state, losses, _, _ = run(state, 0)
         np.asarray(jax.device_get(losses))
         del state
@@ -80,11 +83,12 @@ def try_batch(remat: bool, batch: int, size: int, dtype) -> bool:
         raise
 
 
-def step_time(remat: bool, batch: int, size: int, dtype) -> float:
+def step_time(remat: bool, batch: int, size: int, dtype,
+              stages=(3, 4, 6, 3)) -> float:
     """Chain-slope per-step seconds (states threaded; dedup-proof via
     per-step PRNG keys)."""
     import jax
-    state, run = build_step(remat, batch, size, dtype)
+    state, run = build_step(remat, batch, size, dtype, stages)
 
     def chain(state, n, base):
         t0 = time.time()
@@ -116,6 +120,10 @@ def main():
     ap.add_argument("--max-pow", type=int, default=13,
                     help="max-batch search cap (2^p)")
     ap.add_argument("--skip-max-batch", action="store_true")
+    ap.add_argument("--stages", type=str, default="3,4,6,3",
+                    help="bottleneck stage sizes (e.g. 3,4,23,3 = "
+                         "ResNet-101 depth) — for pricing remat on "
+                         "deeper backbones")
     args = ap.parse_args()
 
     import jax
@@ -125,12 +133,14 @@ def main():
     backend = jax.default_backend()
     dtype = jnp.float32 if backend == "cpu" else jnp.bfloat16
     size = args.image_size
+    stages = tuple(int(x) for x in args.stages.split(","))
     out = {"backend": backend, "image_size": size,
-           "dtype": dtype.__name__, "unfrozen": True}
+           "dtype": dtype.__name__, "unfrozen": True,
+           "stages": list(stages)}
 
     for remat in (False, True):
         tag = "remat" if remat else "plain"
-        t = step_time(remat, args.batch, size, dtype)
+        t = step_time(remat, args.batch, size, dtype, stages)
         out[f"step_ms_{tag}_b{args.batch}"] = round(1e3 * t, 2)
         out[f"imgs_per_s_{tag}_b{args.batch}"] = round(args.batch / t, 1)
         print(f"[{tag}] step {out[f'step_ms_{tag}_b{args.batch}']} ms "
@@ -142,7 +152,7 @@ def main():
             best = 0
             for p in range(args.min_pow, args.max_pow + 1):
                 b = 2 ** p
-                ok = try_batch(remat, b, size, dtype)
+                ok = try_batch(remat, b, size, dtype, stages)
                 print(f"[{tag}] batch {b}: {'ok' if ok else 'OOM'}",
                       flush=True)
                 if not ok:

@@ -29,45 +29,79 @@ import numpy as np
 
 
 def build_step(accum: int, batch: int, size: int, dtype,
-               critic_iters: int = 5):
+               critic_iters: int = 5, trainer: str = "wgan"):
     import jax
     import jax.numpy as jnp
-    from xgan.models import wgan
     from xgan.train.common import adam, create_state
-    from xgan.train.wgan import make_wgan_step
 
-    g_model = wgan.Generator(latent_dim=100, feature_maps=64,
-                             image_size=size, dtype=dtype)
-    c_model = wgan.Critic(feature_maps=64, image_size=size, dtype=dtype)
-    g_tx, c_tx = adam(2e-4, 0.5, beta2=0.9), adam(2e-4, 0.5, beta2=0.9)
-    k = jax.random.key(0)
-    g_state = create_state(g_model, g_tx, k, jnp.zeros((2, 100)),
-                           train=False)
-    c_state = create_state(c_model, c_tx, k,
-                           jnp.zeros((2, size, size, 3)), train=False)
-    step = make_wgan_step(g_model, c_model, g_tx, c_tx, latent_dim=100,
-                          critic_iters=critic_iters, lambda_gp=10.0,
-                          dtype=dtype, donate=False, grad_accum=accum)
     rng = np.random.default_rng(0)
     # store sized to the batch (see tools/bench_grad_accum.py note)
     images = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3),
                                       np.uint8))
     idx = jnp.arange(batch, dtype=jnp.int32)
+    k = jax.random.key(0)
 
-    holder = {"g": g_state, "c": c_state}
+    if trainer == "wgan":
+        from xgan.models import wgan
+        from xgan.train.wgan import make_wgan_step
+        g_model = wgan.Generator(latent_dim=100, feature_maps=64,
+                                 image_size=size, dtype=dtype)
+        c_model = wgan.Critic(feature_maps=64, image_size=size,
+                              dtype=dtype)
+        g_tx = adam(2e-4, 0.5, beta2=0.9)
+        c_tx = adam(2e-4, 0.5, beta2=0.9)
+        g_state = create_state(g_model, g_tx, k, jnp.zeros((2, 100)),
+                               train=False)
+        c_state = create_state(c_model, c_tx, k,
+                               jnp.zeros((2, size, size, 3)),
+                               train=False)
+        step = make_wgan_step(g_model, c_model, g_tx, c_tx,
+                              latent_dim=100, critic_iters=critic_iters,
+                              lambda_gp=10.0, dtype=dtype, donate=False,
+                              grad_accum=accum)
+        holder = {"g": g_state, "c": c_state}
 
-    def run(i):
-        holder["g"], holder["c"], d_losses, g_loss = step(
-            holder["g"], holder["c"], images, idx, jax.random.key(i))
-        return d_losses
+        def run(i):
+            holder["g"], holder["c"], d_losses, _ = step(
+                holder["g"], holder["c"], images, idx, jax.random.key(i))
+            return d_losses
 
-    return holder, run
+        return holder, run
+
+    if trainer == "dcgan":
+        from xgan.models import dcgan
+        from xgan.train.gan import make_dcgan_step
+        g_model = dcgan.Generator(latent_dim=100, feature_maps=64,
+                                  image_size=size, dtype=dtype)
+        d_model = dcgan.Discriminator(feature_maps=64, image_size=size,
+                                      dtype=dtype)
+        g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
+        g_state = create_state(g_model, g_tx, k, jnp.zeros((2, 100)),
+                               train=False)
+        d_state = create_state(d_model, d_tx, k,
+                               jnp.zeros((2, size, size, 3)),
+                               train=False)
+        step = make_dcgan_step(g_model, d_model, g_tx, d_tx,
+                               latent_dim=100, dtype=dtype,
+                               donate=False, grad_accum=accum)
+        holder = {"g": g_state, "d": d_state}
+
+        def run(i):
+            holder["g"], holder["d"], metrics = step(
+                holder["g"], holder["d"], images, idx, jax.random.key(i))
+            return metrics
+
+        return holder, run
+
+    raise ValueError(trainer)
 
 
-def try_batch(accum: int, batch: int, size: int, dtype) -> bool:
+def try_batch(accum: int, batch: int, size: int, dtype,
+              trainer: str = "wgan") -> bool:
     import jax
     try:
-        holder, run = build_step(accum, batch, size, dtype)
+        holder, run = build_step(accum, batch, size, dtype,
+                                 trainer=trainer)
         out = run(0)
         np.asarray(jax.device_get(out))
         holder.clear()
@@ -83,9 +117,10 @@ def try_batch(accum: int, batch: int, size: int, dtype) -> bool:
         raise
 
 
-def step_time(accum: int, batch: int, size: int, dtype) -> float:
+def step_time(accum: int, batch: int, size: int, dtype,
+              trainer: str = "wgan") -> float:
     import jax
-    _, run = build_step(accum, batch, size, dtype)
+    _, run = build_step(accum, batch, size, dtype, trainer=trainer)
 
     def chain(n, base):
         t0 = time.time()
@@ -118,6 +153,8 @@ def main():
     ap.add_argument("--max-pow", type=int, default=12)
     ap.add_argument("--skip-max-batch", action="store_true")
     ap.add_argument("--skip-step-time", action="store_true")
+    ap.add_argument("--trainer", default="wgan",
+                    choices=["wgan", "dcgan"])
     args = ap.parse_args()
 
     import jax
@@ -129,11 +166,12 @@ def main():
     size = args.image_size
     accums = [int(s) for s in args.accums.split(",")]
     out = {"backend": backend, "image_size": size,
-           "dtype": dtype.__name__, "critic_iters": 5}
+           "dtype": dtype.__name__, "trainer": args.trainer,
+           "critic_iters": 5 if args.trainer == "wgan" else None}
 
     if not args.skip_step_time:
         for a in accums:
-            t = step_time(a, args.batch, size, dtype)
+            t = step_time(a, args.batch, size, dtype, args.trainer)
             out[f"step_ms_a{a}_b{args.batch}"] = round(1e3 * t, 2)
             out[f"imgs_per_s_a{a}_b{args.batch}"] = round(args.batch / t, 1)
             print(f"[accum={a}] step {out[f'step_ms_a{a}_b{args.batch}']}"
@@ -146,7 +184,7 @@ def main():
                 b = 2 ** p
                 if b % a:
                     continue
-                ok = try_batch(a, b, size, dtype)
+                ok = try_batch(a, b, size, dtype, args.trainer)
                 print(f"[accum={a}] batch {b}: {'ok' if ok else 'OOM'}",
                       flush=True)
                 if not ok:

@@ -60,6 +60,14 @@ def _resnet_stages(args):
 
 
 def _init_resnet(args, dtype, rng):
+    if getattr(args, "remat", False):
+        # measured three ways (224px, 448px, ResNet-101 depth): remat
+        # never buys max-batch on this chip — boundary activations
+        # dominate (BENCH_DETAIL remat_*_ab)
+        print("Note: --remat costs ~1.2x step time and measured ZERO "
+              "max-batch gain on this hardware at 224/448px and "
+              "ResNet-101 depth; for effective batch size prefer "
+              "--grad-accum (measured 4x).")
     model = ResNet50(num_classes=2, dtype=dtype,
                      stage_sizes=_resnet_stages(args),
                      remat=getattr(args, "remat", False))
