@@ -58,6 +58,14 @@ def build_parser():
                         "keeps them; tools/bench_remat.py, BENCH_DETAIL "
                         "remat_*_ab). For effective batch size use "
                         "--grad-accum, which measured 4x.")
+    p.add_argument("--remat-scope", default="block",
+                   choices=["block", "stage", "nested"],
+                   help="--remat granularity. block = jax.checkpoint "
+                        "per bottleneck (keeps every block-boundary "
+                        "activation — measured zero max-batch gain "
+                        "here); stage = checkpoint whole stages, "
+                        "keeping only the 4 stage inputs (see "
+                        "BENCH_DETAIL remat_stage_ab)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="Split each batch into K sequential microbatches "
                         "inside one program: gradients accumulate, one "

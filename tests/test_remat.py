@@ -7,22 +7,28 @@ jax.checkpoint batch-headroom lever from the TPU playbook."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xgan.models.resnet import ResNet50
 from xgan.train.classifier import classifier_optimizer, make_train_step
 from xgan.train.common import ModelState
 
 
-def _models():
+def _models(scope="block"):
     m0 = ResNet50(num_classes=2, stage_sizes=(1, 1, 1, 1))
-    m1 = ResNet50(num_classes=2, stage_sizes=(1, 1, 1, 1), remat=True)
+    m1 = ResNet50(num_classes=2, stage_sizes=(1, 1, 1, 1), remat=True,
+                  remat_scope=scope)
     v = m0.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
     return m0, m1, v
 
 
-def test_remat_param_tree_identical():
-    """Checkpoints interop: remat must not rename/move any variable."""
-    m0, m1, v = _models()
+@pytest.mark.parametrize("scope", ["block", "stage", "nested"])
+def test_remat_param_tree_identical(scope):
+    """Checkpoints interop: remat must not rename/move any variable —
+    including stage scope, whose lifted function creates the blocks
+    inside the checkpoint region but names them into the module's flat
+    layer{s}_{b} scope."""
+    m0, m1, v = _models(scope)
     v1 = m1.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
     assert (jax.tree_util.tree_structure(v)
             == jax.tree_util.tree_structure(v1))
@@ -31,8 +37,9 @@ def test_remat_param_tree_identical():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_remat_forward_grads_stats_identical():
-    m0, m1, v = _models()
+@pytest.mark.parametrize("scope", ["block", "stage", "nested"])
+def test_remat_forward_grads_stats_identical(scope):
+    m0, m1, v = _models(scope)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 32, 3)),
                     jnp.float32)
 

@@ -17,7 +17,7 @@ from xgan.train.common import adam, create_state
 from xgan.train.gan import make_dcgan_step
 
 
-def _run(mesh_ctx, steps=3):
+def _run(mesh_ctx, steps=3, grad_accum=1):
     g_model = dcgan.Generator(latent_dim=8, feature_maps=8, image_size=32)
     d_model = dcgan.Discriminator(feature_maps=8, image_size=32)
     g_tx, d_tx = adam(2e-4, 0.5), adam(2e-4, 0.5)
@@ -28,7 +28,7 @@ def _run(mesh_ctx, steps=3):
         d_model, d_tx, k, jnp.zeros((2, 32, 32, 3)), train=False))
     step = make_dcgan_step(g_model, d_model, g_tx, d_tx, latent_dim=8,
                            batch_sharding=mesh_ctx.batch_sharding(4),
-                           donate=False)
+                           donate=False, grad_accum=grad_accum)
     images = mesh_ctx.replicate(jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (64, 32, 32, 3),
                                           np.uint8)))
@@ -65,7 +65,7 @@ def _batch_idx(i, b=16, n=64):
     return jnp.asarray((np.arange(b) + b * i) % n, dtype=jnp.int32)
 
 
-def _wgan_run(mesh_ctx, steps=2):
+def _wgan_run(mesh_ctx, steps=2, grad_accum=1):
     from xgan.models import wgan
     from xgan.train.wgan import make_wgan_step
     g_model = wgan.Generator(latent_dim=8, feature_maps=8, image_size=32)
@@ -79,7 +79,7 @@ def _wgan_run(mesh_ctx, steps=2):
     step = make_wgan_step(g_model, c_model, g_tx, c_tx, latent_dim=8,
                           critic_iters=2, lambda_gp=10.0,
                           batch_sharding=mesh_ctx.batch_sharding(4),
-                          donate=False)
+                          donate=False, grad_accum=grad_accum)
     images = _u8_store(mesh_ctx)
     out = []
     for i in range(steps):
@@ -91,6 +91,24 @@ def _wgan_run(mesh_ctx, steps=2):
     # BOTH param trees: the GP double-backward lands in the critic
     return (np.stack(out),
             jax.device_get((g_state.params, c_state.params)))
+
+
+def test_dcgan_grad_accum_dp8_matches_single_device():
+    """The microbatched (grad_accum=2) step under a sharded batch: the
+    (A, mb, ...) reshape re-constrains rows over the data axis
+    (PartitionSpec(None, 'data', ...)), so every microbatch's BN/loss
+    reductions stay global — 8-dev must equal 1-dev like the fused
+    step."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 emulated devices")
+    m1, p1 = _run(create_mesh(devices=devs[:1]), grad_accum=2)
+    m8, p8 = _run(create_mesh(devices=devs[:8]), grad_accum=2)
+    np.testing.assert_allclose(m1, m8, rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
 
 
 def test_wgan_dp8_matches_single_device():
@@ -107,6 +125,22 @@ def test_wgan_dp8_matches_single_device():
     # Adam's early updates amplify to ~lr (2e-4) on near-zero-gradient
     # elements (the GP double-backward has many); bound by two lr
     # quanta rather than machine epsilon.
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
+
+
+def test_wgan_grad_accum_dp8_matches_single_device():
+    """grad_accum=2 WGAN-GP: the GP double-backward runs per
+    microbatch under sharding; 8-dev == 1-dev with the same post-Adam
+    envelope as the fused step."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 emulated devices")
+    m1, p1 = _wgan_run(create_mesh(devices=devs[:1]), grad_accum=2)
+    m8, p8 = _wgan_run(create_mesh(devices=devs[:8]), grad_accum=2)
+    np.testing.assert_allclose(m1, m8, rtol=2e-4, atol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

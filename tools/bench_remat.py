@@ -29,7 +29,7 @@ import numpy as np
 
 
 def build_step(remat: bool, batch: int, size: int, dtype,
-               stages=(3, 4, 6, 3)):
+               stages=(3, 4, 6, 3), scope="block"):
     import jax
     import jax.numpy as jnp
     from xgan.models.resnet import ResNet50
@@ -37,7 +37,7 @@ def build_step(remat: bool, batch: int, size: int, dtype,
     from xgan.train.common import ModelState
 
     model = ResNet50(num_classes=2, remat=remat, dtype=dtype,
-                     stage_sizes=tuple(stages))
+                     stage_sizes=tuple(stages), remat_scope=scope)
     tx = classifier_optimizer(1e-3, freeze_base=False)
     v = model.init(jax.random.key(0), jnp.zeros((2, size, size, 3)),
                    train=False)
@@ -60,11 +60,11 @@ def build_step(remat: bool, batch: int, size: int, dtype,
 
 
 def try_batch(remat: bool, batch: int, size: int, dtype,
-              stages=(3, 4, 6, 3)) -> bool:
+              stages=(3, 4, 6, 3), scope="block") -> bool:
     """True iff one train step at this batch compiles and runs."""
     import jax
     try:
-        state, run = build_step(remat, batch, size, dtype, stages)
+        state, run = build_step(remat, batch, size, dtype, stages, scope)
         state, losses, _, _ = run(state, 0)
         np.asarray(jax.device_get(losses))
         del state
@@ -84,11 +84,11 @@ def try_batch(remat: bool, batch: int, size: int, dtype,
 
 
 def step_time(remat: bool, batch: int, size: int, dtype,
-              stages=(3, 4, 6, 3)) -> float:
+              stages=(3, 4, 6, 3), scope="block") -> float:
     """Chain-slope per-step seconds (states threaded; dedup-proof via
     per-step PRNG keys)."""
     import jax
-    state, run = build_step(remat, batch, size, dtype, stages)
+    state, run = build_step(remat, batch, size, dtype, stages, scope)
 
     def chain(state, n, base):
         t0 = time.time()
@@ -120,6 +120,11 @@ def main():
     ap.add_argument("--max-pow", type=int, default=13,
                     help="max-batch search cap (2^p)")
     ap.add_argument("--skip-max-batch", action="store_true")
+    ap.add_argument("--scope", default="block",
+                    choices=["block", "stage", "nested"],
+                    help="remat granularity (stage = checkpoint whole "
+                         "stages; drops the block-boundary activations "
+                         "block scope keeps)")
     ap.add_argument("--stages", type=str, default="3,4,6,3",
                     help="bottleneck stage sizes (e.g. 3,4,23,3 = "
                          "ResNet-101 depth) — for pricing remat on "
@@ -136,11 +141,12 @@ def main():
     stages = tuple(int(x) for x in args.stages.split(","))
     out = {"backend": backend, "image_size": size,
            "dtype": dtype.__name__, "unfrozen": True,
-           "stages": list(stages)}
+           "stages": list(stages), "scope": args.scope}
 
     for remat in (False, True):
         tag = "remat" if remat else "plain"
-        t = step_time(remat, args.batch, size, dtype, stages)
+        t = step_time(remat, args.batch, size, dtype, stages,
+                      args.scope)
         out[f"step_ms_{tag}_b{args.batch}"] = round(1e3 * t, 2)
         out[f"imgs_per_s_{tag}_b{args.batch}"] = round(args.batch / t, 1)
         print(f"[{tag}] step {out[f'step_ms_{tag}_b{args.batch}']} ms "
@@ -152,7 +158,8 @@ def main():
             best = 0
             for p in range(args.min_pow, args.max_pow + 1):
                 b = 2 ** p
-                ok = try_batch(remat, b, size, dtype, stages)
+                ok = try_batch(remat, b, size, dtype, stages,
+                               args.scope)
                 print(f"[{tag}] batch {b}: {'ok' if ok else 'OOM'}",
                       flush=True)
                 if not ok:

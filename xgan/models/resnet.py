@@ -89,6 +89,20 @@ class ResNet50(nn.Module):
     # FLOPs for peak-activation memory of one block instead of fifty —
     # the standard jax.checkpoint batch-headroom lever on TPU.
     remat: bool = False
+    # remat_scope="stage" checkpoints each of the four STAGES instead of
+    # each block. Block-level remat measured ZERO max-batch gain on TPU
+    # at 224/448px and ResNet-101 depth (BENCH_DETAIL remat_*_ab): the
+    # HBM ceiling is the ~16 BLOCK-BOUNDARY activations per image,
+    # which per-block checkpointing keeps. Stage scope keeps only the 4
+    # stage inputs (~3.7x fewer boundary bytes) and recomputes a stage
+    # per backward segment — same ~1 extra forward of FLOPs, but the
+    # live set actually shrinks. Param/variable trees are identical in
+    # every mode (checkpoints interop freely).
+    # "nested" composes both: stage-level checkpoint regions whose
+    # recompute passes themselves checkpoint per block — backward peak
+    # ≈ 4 stage inputs + one stage's block boundaries + one block's
+    # internals, the minimum any remat partition of this graph reaches.
+    remat_scope: str = "block"  # "block" | "stage" | "nested"
 
     @nn.compact
     def __call__(self, x, *, train: bool, return_features: bool = False,
@@ -106,18 +120,45 @@ class ResNet50(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
-        # static_argnums=(2,): ``train`` (self=0, x=1); ``mask`` stays
-        # dynamic (an array or None). Param/variable trees are identical
-        # to the un-remat'd module, so checkpoints interop freely.
-        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
-                     if self.remat else Bottleneck)
-        for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
-            for b in range(blocks):
-                stride = 2 if (stage > 0 and b == 0) else 1
-                x = block_cls(width, stride=stride, downsample=(b == 0),
-                              dtype=self.dtype,
-                              name=f"layer{stage + 1}_{b}")(
-                                  x, train, mask)
+        if self.remat and self.remat_scope in ("stage", "nested"):
+            # One jax.checkpoint region per stage, via flax's lifted
+            # function remat. The blocks are created INSIDE the lifted
+            # function but named into self's scope, so the param tree
+            # stays the flat ``layer{stage+1}_{b}`` layout every other
+            # mode (and the torchvision importer) uses. static_argnums
+            # count the module as arg 0; ``mask`` (3) stays dynamic.
+            inner_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                         if self.remat_scope == "nested" else Bottleneck)
+
+            def stage_fn(mdl, x, train, mask, stage, blocks, width):
+                for b in range(blocks):
+                    stride = 2 if (stage > 0 and b == 0) else 1
+                    x = inner_cls(width, stride=stride,
+                                  downsample=(b == 0), dtype=mdl.dtype,
+                                  name=f"layer{stage + 1}_{b}")(
+                                      x, train, mask)
+                return x
+
+            stage_call = nn.remat(stage_fn, static_argnums=(2, 4, 5, 6))
+            for stage, (blocks, width) in enumerate(
+                    zip(self.stage_sizes, widths)):
+                x = stage_call(self, x, train, mask, stage, blocks,
+                               width)
+        else:
+            # static_argnums=(2,): ``train`` (self=0, x=1); ``mask``
+            # stays dynamic (an array or None). Param/variable trees
+            # are identical to the un-remat'd module, so checkpoints
+            # interop freely.
+            block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                         if self.remat else Bottleneck)
+            for stage, (blocks, width) in enumerate(
+                    zip(self.stage_sizes, widths)):
+                for b in range(blocks):
+                    stride = 2 if (stage > 0 and b == 0) else 1
+                    x = block_cls(width, stride=stride,
+                                  downsample=(b == 0), dtype=self.dtype,
+                                  name=f"layer{stage + 1}_{b}")(
+                                      x, train, mask)
         features = x
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         logits = Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)

@@ -60,17 +60,20 @@ def _resnet_stages(args):
 
 
 def _init_resnet(args, dtype, rng):
-    if getattr(args, "remat", False):
-        # measured three ways (224px, 448px, ResNet-101 depth): remat
-        # never buys max-batch on this chip — boundary activations
-        # dominate (BENCH_DETAIL remat_*_ab)
-        print("Note: --remat costs ~1.2x step time and measured ZERO "
-              "max-batch gain on this hardware at 224/448px and "
-              "ResNet-101 depth; for effective batch size prefer "
-              "--grad-accum (measured 4x).")
+    scope = getattr(args, "remat_scope", "block") or "block"
+    if getattr(args, "remat", False) and scope == "block":
+        # measured three ways (224px, 448px, ResNet-101 depth):
+        # block-scope remat never buys max-batch on this chip —
+        # boundary activations dominate (BENCH_DETAIL remat_*_ab)
+        print("Note: --remat (block scope) costs ~1.2x step time and "
+              "measured ZERO max-batch gain on this hardware at "
+              "224/448px and ResNet-101 depth; try --remat-scope "
+              "stage, or --grad-accum (measured 4x) for effective "
+              "batch size.")
     model = ResNet50(num_classes=2, dtype=dtype,
                      stage_sizes=_resnet_stages(args),
-                     remat=getattr(args, "remat", False))
+                     remat=getattr(args, "remat", False),
+                     remat_scope=scope)
     variables = model.init(
         rng, jnp.zeros((2, args.image_size, args.image_size, 3)),
         train=False)
