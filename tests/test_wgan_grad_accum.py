@@ -268,3 +268,44 @@ def test_loop_indivisible_grad_accum_ignored(fake_dataset, tmp_path,
     history = train_wgan(_wgan_args(fake_dataset, tmp_path, grad_accum=3))
     assert "does not divide" in capsys.readouterr().out
     assert len(history["G_losses"]) == 2
+
+
+def test_steps_per_call_composes_with_grad_accum():
+    """The loops pass grad_accum into BOTH the single-step and the
+    steps_per_call=K programs; the K-scan over the accumulated step
+    must equal K sequential single dispatches (same fold_in PRNG
+    stream — the invariant every steps-per-call mode pins)."""
+    from xgan.train.common import adam
+    tx_a, tx_b = adam(2e-4, 0.5, beta2=0.9), adam(2e-4, 0.5, beta2=0.9)
+    g_model, c_model, g_state, c_state = _models_and_states(tx_a)
+    images = jnp.asarray(np.random.default_rng(2).integers(
+        0, 255, (20, SIZE, SIZE, 3), np.uint8))
+    kw = dict(latent_dim=LATENT, critic_iters=2, lambda_gp=10.0,
+              donate=False, grad_accum=2)
+    single = make_wgan_step(g_model, c_model, tx_a, tx_b, **kw)
+    multi = make_wgan_step(g_model, c_model, tx_a, tx_b,
+                           steps_per_call=2, **kw)
+
+    key = jax.random.key(11)
+    idx_chunk = jnp.stack([jnp.arange(8, dtype=jnp.int32),
+                           jnp.arange(8, 16, dtype=jnp.int32)])
+    gm, cm, d_m, g_m = multi(g_state, c_state, images, idx_chunk,
+                             jnp.int32(0), key)
+    gs, cs = g_state, c_state
+    outs = []
+    for t in range(2):
+        gs, cs, d_l, g_l = single(gs, cs, images, idx_chunk[t],
+                                  jax.random.fold_in(key, t))
+        outs.append((d_l, g_l))
+    np.testing.assert_allclose(np.asarray(d_m),
+                               np.stack([np.asarray(o[0])
+                                         for o in outs]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_m),
+                               np.asarray([float(o[1]) for o in outs]),
+                               rtol=1e-5, atol=1e-5)
+    # post-Adam param comparison: ±lr envelope (CLAUDE.md r3f)
+    for a, b in zip(jax.tree_util.tree_leaves(gm.params),
+                    jax.tree_util.tree_leaves(gs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2.5e-4)
