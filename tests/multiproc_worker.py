@@ -86,11 +86,17 @@ def main():
     store = DeviceStore(host_store, mesh_ctx)
     assert len(store) == 40
 
-    # --- --shard-store degrade: multi-host sharding is not wired; the
-    # note must fire and the store must fall back to replicated.
-    if nproc > 1:
-        sharded = DeviceStore(host_store, mesh_ctx, shard=True)
-        assert not sharded.sharded, "--shard-store must degrade multi-host"
+    # --- --shard-store across processes (r4): rows shard over the
+    # GLOBAL mesh via make_array_from_callback, the one-owner psum
+    # gather reassembles batches over the cross-process transport.
+    # Exact u8 row recovery is the whole correctness story.
+    sharded = DeviceStore(host_store, mesh_ctx, shard=True)
+    assert sharded.sharded
+    take_jit = jax.jit(sharded.take)
+    ix = jnp.asarray([0, 5, 13, 39, 17, 2, 38, 21], jnp.int32)
+    rows = host_tree(take_jit(sharded.images, ix))
+    np.testing.assert_array_equal(
+        rows, np.asarray(host_store.images)[np.asarray(ix)])
 
     # --- one DP DCGAN fused step over the cross-process mesh
     g_model = dcgan.Generator(latent_dim=latent, feature_maps=fm,

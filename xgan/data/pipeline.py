@@ -169,8 +169,13 @@ class DeviceStore:
     never reference pad rows) and placed row-sharded over the whole
     mesh; ``self.take`` becomes the psum-assembling sharded gather
     (:func:`make_sharded_take`). Labels stay replicated (4 bytes/row).
-    Multi-host sharding is not wired (every process decodes the full
-    store here); it degrades to replicated with a note.
+    Multi-host (r4): the sharded placement spans processes via
+    ``jax.make_array_from_callback`` — every process holds the full
+    decoded store on host here, and the callback hands each local
+    device exactly its global row block, so per-device HBM is still
+    1/n_devices of the dataset; the ``take`` gather's psum rides the
+    cross-process collective transport (executed end-to-end by
+    tests/test_multiprocess.py's worker).
     """
 
     def __init__(self, store, mesh_ctx=None, shard: bool = False):
@@ -180,10 +185,6 @@ class DeviceStore:
         labels = self.labels_host
         self._n = imgs.shape[0]
         self.take = take_rows
-        if shard and mesh_ctx is not None and jax.process_count() > 1:
-            print("Note: --shard-store is single-host only here; "
-                  "replicating the store.")
-            shard = False
         if shard and mesh_ctx is not None and mesh_ctx.n_devices > 1:
             n_dev = mesh_ctx.n_devices
             padded = ((self._n + n_dev - 1) // n_dev) * n_dev
@@ -193,9 +194,19 @@ class DeviceStore:
                                     imgs.dtype)])
             from jax.sharding import NamedSharding, PartitionSpec as P
             spec = P((mesh_ctx.data_axis, mesh_ctx.model_axis))
-            self.images = jax.device_put(
-                imgs, NamedSharding(mesh_ctx.mesh, spec))
-            self.labels = jax.device_put(labels, mesh_ctx.replicated())
+            sh = NamedSharding(mesh_ctx.mesh, spec)
+            if jax.process_count() > 1:
+                # cannot device_put onto other hosts' devices; the
+                # callback route feeds each ADDRESSABLE device its
+                # global index block regardless of device ordering
+                self.images = jax.make_array_from_callback(
+                    imgs.shape, sh, lambda idx: imgs[idx])
+                self.labels = jax.make_array_from_process_local_data(
+                    mesh_ctx.replicated(), labels)
+            else:
+                self.images = jax.device_put(imgs, sh)
+                self.labels = jax.device_put(labels,
+                                             mesh_ctx.replicated())
             self.take = make_sharded_take(mesh_ctx, padded // n_dev)
         elif mesh_ctx is not None and jax.process_count() > 1:
             self.images = jax.make_array_from_process_local_data(
