@@ -9,8 +9,11 @@ process boundaries, so the previously-unexecuted multi-host branches
 actually run (VERDICT r3 next #2):
 
 - ``DeviceStore``'s ``jax.make_array_from_process_local_data`` assembly
-  (xgan/data/pipeline.py:200-204),
-- the ``--shard-store`` multi-host degrade note (pipeline.py:183-186),
+  for replicated stores,
+- the ``--shard-store`` cross-process sharded store: the
+  ``make_array_from_callback`` branch hands each LOCAL device its global
+  row block and ``store.take``'s one-owner psum gather recovers exact u8
+  rows across process boundaries (xgan/data/pipeline.py, shard branch),
 - one DP DCGAN train step over the cross-process mesh (XLA's gradient
   all-reduces + sync-BN reductions ride the cross-process transport),
 - process-0 snapshot write + reload of the post-step state.

@@ -3,8 +3,10 @@
 ``jax.distributed.initialize`` into one 8-device mesh, running
 tests/multiproc_worker.py — DeviceStore's
 ``make_array_from_process_local_data`` assembly, the --shard-store
-multi-host degrade note, one DP DCGAN step (cross-process grad
-all-reduce + sync-BN), and a process-0 snapshot roundtrip. The same
+cross-process sharded store (exact u8 row recovery through the
+one-owner psum gather spanning both processes), one DP DCGAN step
+(cross-process grad all-reduce + sync-BN), and a process-0 snapshot
+roundtrip. The same
 worker runs single-process for the reference numbers, so 2-proc ==
 1-proc is an apples-to-apples comparison of the identical code.
 
