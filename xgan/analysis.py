@@ -8,14 +8,18 @@ against this framework's artifacts:
   reference, since the schemas are identical);
 - the SSIM distribution uses the batched on-device kernel in
   xgan.ops.ssim instead of a 50,000-iteration host loop;
-- Grad-CAM runs on our flax ResNet-50 checkpoints. For this architecture
-  the CAM target (layer4 output feeding global-average-pool + fc,
-  reference targets model.layer4[-1].conv3 — analyze_results.py:466) gives
-  the analytic form cam = relu(sum_k fc_w[k, class] * A_k), which is exact
-  Grad-CAM; the reference's eigen_smooth PCA variant (its CAM call passes
-  eigen_smooth=True, analyze_results.py:550-552) is reproduced by
-  ``eigen_smooth_2d`` below (default-on, golden-tested against numpy SVD
-  in tests/test_analysis.py).
+- Grad-CAM runs on our flax ResNet-50 checkpoints with the REFERENCE'S
+  exact target by default: the pre-BN output of layer4's last conv3
+  (analyze_results.py:466 hooks `model.layer4[-1].conv3`, an nn.Conv2d,
+  so pytorch_grad_cam captures the raw conv output), with GAP-of-gradient
+  channel weights — golden-tested map-for-map against a torch-hook
+  replica of the reference pipeline in tests/test_analysis.py. A
+  `target="stage_output"` mode keeps the r1-r4 analytic form (layer4
+  block output feeding avgpool: cam = relu(sum_k fc_w[k, class] * A_k),
+  exact Grad-CAM for that map, no backward needed). The reference's
+  eigen_smooth PCA variant (its CAM call passes eigen_smooth=True,
+  analyze_results.py:550-552) is reproduced by ``eigen_smooth_2d`` below
+  (default-on, golden-tested against numpy SVD in tests/test_analysis.py).
 """
 from __future__ import annotations
 
@@ -357,18 +361,29 @@ def eigen_smooth_2d(weighted_hwc, n_iter: int = 64):
 
 
 def grad_cam_resnet(model, variables, image_normed: np.ndarray, *,
-                    eigen_smooth: bool = True):
+                    eigen_smooth: bool = True, target: str = "conv3"):
     """(pred_label, cam (H, W) in [0,1]) for one normalized image.
 
-    Exact Grad-CAM for avgpool+fc heads: dscore/dA_k is constant over
-    space, equal to fc_w[k, class] / (H'*W'), so the per-channel weighted
-    activations are fc_w[k, c] * A_k up to a positive scale.
+    ``target="conv3"`` (default — the reference's exact target,
+    analyze_results.py:466 hooks `model.layer4[-1].conv3`): activation =
+    the last stage-4 bottleneck's conv3 output PRE-BN, channel weights =
+    spatial mean of d(score)/d(activation) (pytorch_grad_cam's GradCAM
+    weighting), computed via jax.grad w.r.t. a zero flax perturbation at
+    the tap (xgan.models.resnet._ConvBN.tap). Golden-tested against a
+    torch-hook replica in tests/test_analysis.py.
+
+    ``target="stage_output"``: the layer4 block output feeding avgpool.
+    There dscore/dA_k is constant over space (fc_w[k, class] / (H'*W')),
+    so the weighted activations are fc_w[k, c] * A_k exactly — no
+    backward needed.
+
     ``eigen_smooth=True`` (the reference's actual setting,
     analyze_results.py:550-552) replaces the channel sum with the first
     principal component of the weighted activation map; False gives the
-    plain analytic CAM.
+    plain CAM.
     """
-    pred, cam = _cam_program(model, eigen_smooth)(variables, image_normed)
+    pred, cam = _cam_program(model, eigen_smooth, target)(variables,
+                                                          image_normed)
     pred, cam = int(pred), np.asarray(cam)
     if cam.max() > 0:
         cam = cam / cam.max()
@@ -376,7 +391,7 @@ def grad_cam_resnet(model, variables, image_normed: np.ndarray, *,
 
 
 @functools.lru_cache(maxsize=8)
-def _cam_program(model, eigen_smooth: bool):
+def _cam_program(model, eigen_smooth: bool, target: str = "conv3"):
     """One jitted (variables, image) -> (pred, relu'd CAM) program per
     (model, mode): the eager form dispatched every ResNet op per call —
     3 models x 9 samples of per-op remote dispatches dominated analysis
@@ -385,6 +400,42 @@ def _cam_program(model, eigen_smooth: bool):
     hashable cache keys."""
     import jax
     import jax.numpy as jnp
+
+    if target == "conv3":
+        tap_model = model.clone(cam_tap=True)
+
+        def fwd(variables, image_normed):
+            img = image_normed[None]
+            # zero-perturbation template: one traced forward with the
+            # "perturbations" collection mutable materializes the tap
+            # leaf's shape; its gradient is d(score)/d(activation).
+            _, aux0 = tap_model.apply(
+                variables, img, train=False,
+                mutable=["perturbations", "intermediates"])
+            perts0 = jax.tree_util.tree_map(jnp.zeros_like,
+                                            aux0["perturbations"])
+
+            def score_fn(perts):
+                logits, aux = tap_model.apply(
+                    {**variables, "perturbations": perts}, img,
+                    train=False, mutable=["intermediates"])
+                pred = jax.lax.stop_gradient(jnp.argmax(logits[0]))
+                return jnp.take(logits[0], pred), \
+                    (pred, aux["intermediates"])
+
+            (_, (pred, inter)), grads = jax.value_and_grad(
+                score_fn, has_aux=True)(perts0)
+            act = jax.tree_util.tree_leaves(inter)[0][0]     # (H', W', C)
+            grad = jax.tree_util.tree_leaves(grads)[0][0]    # (H', W', C)
+            # pytorch_grad_cam GradCAM: w_c = GAP of the gradient
+            weights = jnp.mean(grad.astype(jnp.float32), axis=(0, 1))
+            weighted = act.astype(jnp.float32) * weights     # (H', W', C)
+            if eigen_smooth:
+                cam = eigen_smooth_2d(weighted)
+            else:
+                cam = jnp.sum(weighted, axis=-1)
+            return pred, jnp.maximum(cam, 0.0)
+        return jax.jit(fwd)
 
     def fwd(variables, image_normed):
         logits, feats = model.apply(variables, image_normed[None],

@@ -37,6 +37,14 @@ class _ConvBN(nn.Module):
     stride: int = 1
     padding: int = 0
     dtype: Any = jnp.float32
+    # Grad-CAM tap (reference analyze_results.py:466 hooks the raw
+    # nn.Conv2d module `layer4[-1].conv3`, i.e. the PRE-BN conv output):
+    # when set, the pre-BN activation is sow'n into "intermediates" and
+    # routed through self.perturb so jax.grad w.r.t. the zero-valued
+    # "perturbations" leaf yields d(score)/d(activation) — flax's
+    # intermediate-gradient idiom, used by xgan.analysis._cam_program.
+    # Adds no "params" leaves: checkpoints interop unchanged.
+    tap: str = ""
 
     @nn.compact
     def __call__(self, x, *, train: bool, mask=None):
@@ -45,6 +53,9 @@ class _ConvBN(nn.Module):
         y = conv2d(x.astype(self.dtype), w.astype(self.dtype),
                    stride=self.stride, padding=self.padding,
                    preferred_dtype=jnp.float32).astype(self.dtype)
+        if self.tap:
+            y = self.perturb(self.tap, y)
+            self.sow("intermediates", self.tap, y)
         y = TorchBatchNorm(scale_init=nn.initializers.ones, name="bn")(
             y, train=train, mask=mask)
         return y
@@ -55,6 +66,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    cam_tap: bool = False  # tap conv3's pre-BN output (see _ConvBN.tap)
 
     @nn.compact
     def __call__(self, x, train: bool = True, mask=None):
@@ -69,6 +81,7 @@ class Bottleneck(nn.Module):
                               dtype=self.dtype, name="conv2")(
                                   out, train=train, mask=mask))
         out = _ConvBN(self.width * 4, 1, dtype=self.dtype,
+                      tap="cam_conv3" if self.cam_tap else "",
                       name="conv3")(out, train=train, mask=mask)
         if self.downsample:
             identity = _ConvBN(self.width * 4, 1, stride=self.stride,
@@ -103,6 +116,12 @@ class ResNet50(nn.Module):
     # ≈ 4 stage inputs + one stage's block boundaries + one block's
     # internals, the minimum any remat partition of this graph reaches.
     remat_scope: str = "block"  # "block" | "stage" | "nested"
+    # cam_tap: tap the LAST stage-4 block's conv3 pre-BN activation for
+    # reference-exact Grad-CAM (analyze_results.py:466 targets
+    # model.layer4[-1].conv3). Inference-time only; incompatible with
+    # remat (the lifted stage fn doesn't thread the tap; CAM never
+    # remats — it is a 1-image eval forward).
+    cam_tap: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, return_features: bool = False,
@@ -120,6 +139,8 @@ class ResNet50(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
+        assert not (self.cam_tap and self.remat), \
+            "cam_tap is an inference-path feature; build with remat=False"
         if self.remat and self.remat_scope in ("stage", "nested"):
             # One jax.checkpoint region per stage, via flax's lifted
             # function remat. The blocks are created INSIDE the lifted
@@ -155,8 +176,11 @@ class ResNet50(nn.Module):
                     zip(self.stage_sizes, widths)):
                 for b in range(blocks):
                     stride = 2 if (stage > 0 and b == 0) else 1
+                    tap = (self.cam_tap and stage == 3
+                           and b == blocks - 1)
                     x = block_cls(width, stride=stride,
                                   downsample=(b == 0), dtype=self.dtype,
+                                  cam_tap=tap,
                                   name=f"layer{stage + 1}_{b}")(
                                       x, train, mask)
         features = x
