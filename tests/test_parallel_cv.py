@@ -13,6 +13,28 @@ from xgan.train.parallel_folds import (fold_epoch_batches, stack_states,
                                        unstack_state)
 
 
+def _tiny_cnn():
+    """Small conv+BN net: the real ResNet's partitioner surface (grouped
+    convs under vmap, BN batch reductions, optimizer update) without
+    its compile cost (see classifier_loop._resnet_stages)."""
+    import flax.linen as nn
+
+    from xgan.models.layers import Conv, Dense, TorchBatchNorm
+
+    class TinyCNN(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool, mask=None):
+            x = Conv(8, kernel=4, stride=2, padding=1)(x)
+            x = TorchBatchNorm()(x, train=train, mask=mask)
+            x = nn.relu(x)
+            x = Conv(16, kernel=4, stride=2, padding=1)(x)
+            x = TorchBatchNorm()(x, train=train, mask=mask)
+            x = nn.relu(x)
+            return Dense(2)(x.mean(axis=(1, 2)))
+
+    return TinyCNN()
+
+
 def test_stack_unstack_roundtrip():
     mk = lambda v: ModelState(params={"w": jnp.full((2, 2), v)},
                               batch_stats={"m": jnp.full((3,), v)},
@@ -191,7 +213,10 @@ def test_parallel_cv_end_to_end(fake_dataset, tmp_path, strategy):
         curriculum_schedule="0:0.5", pretrained_path="",
         parallel_folds=True, image_size=32, seed=0, compute_dtype="f32",
         cache_dir=str(tmp_path / "cache"), limit_batches=2, trace_dir="",
-        cpu=True, resnet_stages=(1, 1, 1, 1))
+        cpu=True, resnet_stages=(1, 1, 1, 1),
+        # composes since r5: the curriculum lane exercises the full
+        # --grad-accum x --parallel-folds CLI path end-to-end
+        grad_accum=2 if strategy == "curriculum" else 1)
     summary = train_classifier(args)
     assert len(summary["folds"]) == 2
     md = tmp_path / "results/metrics"
@@ -321,3 +346,98 @@ def test_lockstep_masking_freezes_exhausted_folds():
                         unstack_state(stacked, 0).params),
                     jax.tree_util.tree_leaves(prev0.params)))
             assert moved > 0
+
+
+def test_parallel_folds_grad_accum_matches_sequential_folds():
+    """--grad-accum x --parallel-folds (r5, VERDICT r4 weak #5): the
+    microbatch scan composed under the fold vmap must reproduce the
+    SEQUENTIAL per-fold grad-accum steps exactly — same per-sample
+    losses, same params — including the mask algebra: each fold's (B,)
+    mask slices into per-microbatch masks (fully-padded microbatch =>
+    stats-freeze + gradient select-zero inside the scan), and an
+    all-zero fold row stays BITWISE frozen (incl. optimizer state)
+    outside it. SGD optimizer per the r4 grad-accum test contract (Adam
+    amplifies near-zero-gradient reduction-order noise into the ±lr
+    envelope; SGD keeps the comparison strict)."""
+    import optax
+
+    from xgan.parallel.mesh import create_mesh
+    from xgan.train.classifier import make_train_step
+    from xgan.train.common import ModelState
+    from xgan.train.parallel_folds import (fold_mesh, make_parallel_steps,
+                                           stack_states)
+
+    model = _tiny_cnn()
+    mesh_ctx = create_mesh()
+    k, b, size, ga = 4, 16, 32, 2
+    tx = optax.sgd(1e-2)
+    states = []
+    for f in range(k):
+        v = model.init(jax.random.key(10 + f),
+                       jnp.zeros((1, size, size, 3)), train=False)
+        states.append(ModelState(params=v["params"],
+                                 batch_stats=v["batch_stats"],
+                                 opt_state=tx.init(v["params"])))
+    # host snapshot BEFORE the steps: both step forms donate their
+    # state argument, deleting the originals' buffers
+    init_params2 = jax.device_get(states[2].params)
+
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.integers(0, 255, (40, size, size, 3), np.uint8))
+    labels = jnp.asarray(rng.integers(0, 2, (40,), np.int32))
+    idx = jnp.asarray(rng.integers(0, 40, (2, k, b)), np.int32)
+    keys = jax.random.split(jax.random.key(11), k)
+    # fold 0: full; fold 1: second microbatch fully padded; fold 2:
+    # all-zero (a short fold past its epoch end — must freeze bitwise);
+    # fold 3: ragged tail inside a live microbatch
+    mask = np.ones((2, k, b), np.float32)
+    mask[:, 1, b // 2:] = 0.0
+    mask[:, 2, :] = 0.0
+    mask[:, 3, -3:] = 0.0
+    mask = jnp.asarray(mask)
+
+    # --- parallel: fold-vmapped grad-accum steps
+    pmesh = fold_mesh(mesh_ctx.mesh.devices.flatten(), k)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    pstep, _ = make_parallel_steps(model, tx, mode="real", n_folds=k,
+                                   pmesh=pmesh, grad_accum=ga)
+    st = jax.device_put(stack_states(states),
+                        NamedSharding(pmesh, P("fold")))
+    p_losses = []
+    for i in range(2):
+        st, losses, _, _ = pstep(st, imgs, labels, imgs, labels, idx[i],
+                                 jnp.float32(0.0), keys, mask[i])
+        p_losses.append(np.asarray(jax.device_get(losses)))
+    p_params = jax.device_get(st.params)
+
+    # --- sequential reference: one grad-accum step per fold
+    sstep = make_train_step(model, tx, mode="real", grad_accum=ga)
+    s_losses = np.zeros_like(np.stack(p_losses))
+    s_params = []
+    for f in range(k):
+        stf = states[f]
+        for i in range(2):
+            stf, losses, _, _ = sstep(stf, imgs, labels, imgs, labels,
+                                      idx[i, f], jnp.float32(0.0),
+                                      keys[f], mask=mask[i, f])
+            s_losses[i, f] = np.asarray(jax.device_get(losses))
+        s_params.append(jax.device_get(stf.params))
+
+    for i in range(2):
+        # compare VALID rows only: padded rows carry unnormalized
+        # garbage by design (consumers drop them)
+        m = np.asarray(mask[i]) > 0
+        np.testing.assert_allclose(p_losses[i][m], s_losses[i][m],
+                                   rtol=1e-4, atol=1e-5)
+    stacked_seq = jax.device_get(stack_states(
+        [ModelState(params=p, batch_stats=None, opt_state=None)
+         for p in s_params])).params
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5),
+        p_params, stacked_seq)
+    # the all-zero fold froze bitwise
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_array_equal(
+            np.asarray(a)[2], np.asarray(b_)),
+        p_params, init_params2)

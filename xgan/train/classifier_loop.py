@@ -509,13 +509,10 @@ def train_classifier(args):
         # multistep_dispatch_ab); the flag is a GAN-trainer optimization.
         print("Note: --steps-per-call applies to the GAN trainers; "
               "ignored for classifier training.")
-    if (int(getattr(args, "grad_accum", 1) or 1) > 1
-            and getattr(args, "parallel_folds", False)):
-        # the lockstep fold program vmaps the raw step; keep the two
-        # schedule transforms separate rather than ship an untested
-        # vmap-of-scan composition
-        print("Note: --grad-accum is ignored with --parallel-folds.")
-        args.grad_accum = 1
+    # --grad-accum composes with --parallel-folds since r5: the
+    # microbatch scan rides inside the vmapped fold step
+    # (parallel_folds.make_parallel_steps grad_accum; equality vs the
+    # sequential per-fold grad-accum steps in tests/test_parallel_cv.py)
     shard_store = getattr(args, "shard_store", False)
     if shard_store and getattr(args, "parallel_folds", False):
         # parallel folds owns a different ('fold','data') mesh and its

@@ -92,11 +92,16 @@ def run_parallel_cv(args, mesh_ctx, dtype, stores, splits, *, strategy,
     del states
     print(f"Parallel CV mesh: {dict(pmesh.shape)}")
 
+    batch_size = mesh_ctx.pad_batch(args.batch_size)
+    ga = int(getattr(args, "grad_accum", 1) or 1)
+    if ga > 1 and batch_size % ga:
+        print(f"Note: --grad-accum {ga} does not divide the "
+              f"(device-padded) batch size {batch_size}; running "
+              "without accumulation.")
+        ga = 1
     train_step, eval_step = make_parallel_steps(
         model, tx, mode=mode, n_folds=k, dtype=dtype, pmesh=pmesh,
-        pooled_synth=synth_pools is not None)
-
-    batch_size = mesh_ctx.pad_batch(args.batch_size)
+        pooled_synth=synth_pools is not None, grad_accum=ga)
     if strategy == "augmented" and not synth_fallback:
         train_spaces = [np.concatenate([
             np.asarray(tr, np.int64),
