@@ -16,6 +16,10 @@ actually run (VERDICT r3 next #2):
   rows across process boundaries (xgan/data/pipeline.py, shard branch),
 - one DP DCGAN train step over the cross-process mesh (XLA's gradient
   all-reduces + sync-BN reductions ride the cross-process transport),
+- one composed --model-parallel 2 --shard-opt-state classifier step on
+  a (data=4, model=2) mesh whose MODEL axis spans the process boundary
+  (r5: TP parameter all-gathers + ZeRO-1 moment re-layouts cross
+  processes, not just the DP grad all-reduce),
 - process-0 snapshot write + reload of the post-step state.
 
 With NPROC=1 the identical code runs single-process over 8 local
@@ -132,6 +136,72 @@ def main():
     metrics = host_tree(metrics)
     assert np.all(np.isfinite(metrics)), metrics
 
+    # --- TP + ZeRO-1 composed classifier step across processes (r5,
+    # VERDICT r4 weak #4): --model-parallel 2 --shard-opt-state layouts
+    # had only ever run single-process. The mesh's device order is
+    # chosen so that with 2 processes the MODEL axis spans the process
+    # boundary (column 0 = proc0's devices, column 1 = proc1's): every
+    # GSPMD parameter all-gather and moment re-layout rides the
+    # cross-process transport, not just the DP grad all-reduce.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from xgan.models.resnet import ResNet50
+    from xgan.parallel.tp import shard_opt_state, shard_over_model
+    from xgan.train.classifier import classifier_optimizer, make_train_step
+
+    devs = jax.devices()
+    order = [devs[r + c * 4] for r in range(4) for c in range(2)]
+    tp_mesh = create_mesh(devices=order, model_parallel=2)
+    clf_model = ResNet50(num_classes=2, stage_sizes=(1, 1, 1, 1))
+    tx = classifier_optimizer(1e-3, freeze_base=True)
+    v = host_tree(clf_model.init(
+        jax.random.key(6), jnp.zeros((2, size, size, 3)), train=False))
+    clf_state = ModelState(params=v["params"],
+                           batch_stats=v["batch_stats"],
+                           opt_state=tx.init(v["params"]))
+    clf_state = shard_over_model(tp_mesh, clf_state, min_features=64)
+    clf_state = shard_opt_state(tp_mesh, clf_state, min_features=64)
+    if nproc > 1:
+        # the wide fc kernel (2048, 2) must actually be sharded: this
+        # process's addressable piece holds half the rows
+        fc_k = clf_state.params["fc"]["kernel"]
+        local = fc_k.addressable_shards[0].data.shape
+        assert local[0] == fc_k.shape[0] // 2, (local, fc_k.shape)
+    clf_step = make_train_step(clf_model, tx, mode="real",
+                               batch_sharding=tp_mesh.batch_sharding(4))
+
+    @jax.jit
+    def clf_step_kd(state, real, labels, synth, synth_l, idx, key_data):
+        return clf_step(state, real, labels, synth, synth_l, idx,
+                        jnp.float32(0.0),
+                        jax.random.wrap_key_data(key_data))
+
+    def repl_tp(x):
+        # replicate over the TP mesh: its device ORDER differs from
+        # mesh_ctx's (the model-axis transpose above), and one jit call
+        # cannot mix shardings with different device lists
+        if nproc == 1:
+            return tp_mesh.replicate(np.asarray(x))
+        return jax.make_array_from_process_local_data(
+            tp_mesh.replicated(), np.asarray(x))
+
+    clf_imgs = repl_tp(rng.integers(0, 256, (2 * batch, size, size, 3),
+                                    np.uint8))
+    clf_labels = repl_tp((np.arange(2 * batch) % 2).astype(np.int32))
+    dummy = repl_tp(np.zeros((1, size, size, 3), np.uint8))
+    dummy_l = repl_tp(np.zeros((1,), np.int32))
+    kd2 = repl_tp(np.asarray(jax.random.key_data(jax.random.key(2))))
+    clf_state, clf_losses, _, _ = clf_step_kd(
+        clf_state, clf_imgs, clf_labels, dummy, dummy_l,
+        jnp.arange(batch, dtype=jnp.int32), kd2)
+    # un-shard before fetching: addressable_data(0) of a sharded leaf is
+    # only this process's piece
+    unshard = jax.jit(lambda t: t,
+                      out_shardings=NamedSharding(tp_mesh.mesh, P()))
+    clf_losses = host_tree(unshard(clf_losses))
+    fc_host = host_tree(unshard(clf_state.params["fc"]))
+    assert np.all(np.isfinite(clf_losses)), clf_losses
+
     if pid == 0:
         # --- process-0 snapshot write + reload roundtrip
         from flax import serialization
@@ -144,8 +214,12 @@ def main():
         for a, b in zip(jax.tree_util.tree_leaves(params_host),
                         jax.tree_util.tree_leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        with open(os.path.join(outdir, f"clf_fc_nproc{nproc}.msgpack"),
+                  "wb") as f:
+            f.write(serialization.to_bytes(fc_host))
         print("RESULT " + json.dumps(
             {"metrics": [float(x) for x in np.asarray(metrics)],
+             "clf_losses": [float(x) for x in np.asarray(clf_losses)],
              "nproc": nproc}), flush=True)
 
     if nproc > 1:

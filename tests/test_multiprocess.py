@@ -97,3 +97,17 @@ def test_two_process_dp_equals_single_process(tmp_path):
         # envelope for post-update params in this repo (CLAUDE.md r3f)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=2.5e-4)
+
+    # --- TP + ZeRO-1 lane (r5): cross-process sharded-parameter step
+    # == single-process. Pre-update per-sample losses near-strict; the
+    # post-Adam fc params carry the lr=1e-3 envelope.
+    np.testing.assert_allclose(m2["clf_losses"], m1["clf_losses"],
+                               rtol=1e-4, atol=1e-5)
+    with open(tmp_path / "clf_fc_nproc1.msgpack", "rb") as f:
+        fc1 = serialization.msgpack_restore(f.read())
+    with open(tmp_path / "clf_fc_nproc2.msgpack", "rb") as f:
+        fc2 = serialization.msgpack_restore(f.read())
+    for a, b in zip(jax.tree_util.tree_leaves(fc1),
+                    jax.tree_util.tree_leaves(fc2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2.5e-3)
