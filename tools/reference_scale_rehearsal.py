@@ -132,8 +132,11 @@ REF_STUBS = textwrap.dedent("""
                preprocess_image=lambda *a, **k: None)
     _u = _mod("pytorch_grad_cam.utils", model_targets=_mt, image=_im)
     _mod("pytorch_grad_cam", GradCAM=object, utils=_u)
+    sys.path.insert(0, "/root/reference/src")
     sys.argv = ARGV
-    exec(open(SCRIPT).read())
+    import analyze_results
+    analyze_results.main()
+    print("REF_ANALYZER_OK")
 """)
 
 
@@ -147,7 +150,8 @@ def main():
     p.add_argument("--cv-epochs", type=int, default=15)
     p.add_argument("--k-folds", type=int, default=5)
     p.add_argument("--phases",
-                   default="gan,sample,cv,unfrozen,analyze,ref_analyze")
+                   default="gan,sample,cv,single,unfrozen,analyze,"
+                           "ref_analyze")
     p.add_argument("--record", action="store_true",
                    help="merge the summary into BENCH_DETAIL.json")
     p.add_argument("--cpu", action="store_true",
@@ -161,6 +165,8 @@ def main():
                    help="extra flags for classifier phases")
     p.add_argument("--sample-extra", default="",
                    help="extra flags for the sampler phase")
+    p.add_argument("--analyze-extra", default="",
+                   help="extra flags for our analyzer phase")
     args = p.parse_args()
 
     out = pathlib.Path(args.out)
@@ -254,6 +260,27 @@ def main():
             results[f"cv_{strategy}"] = ph.run()
             res_path.write_text(json.dumps(results, indent=1))
 
+    if "single" in phases:
+        # single (non-CV) runs per strategy: produce the
+        # {strategy}_resnet50 checkpoints the Grad-CAM comparison loads
+        # and the {strategy}_final_metrics.json files (the reference
+        # protocol ran both CV and single runs — its analyzer needs the
+        # single-run checkpoints, analyze_results.py:455-470)
+        for strategy, extra in (
+                ("baseline", []),
+                ("augmented", ["--use-synthetic"]),
+                ("curriculum", ["--use-synthetic", "--use-curriculum"])):
+            cmd = base + ["src/train_classifier.py"] + common + [
+                "--epochs", "5", "--k-folds", "1", "--batch-size", "128",
+                "--image-size", "224", "--seed", "0",
+                "--synthetic-dir", str(out / "synthetic")] + extra + \
+                (args.clf_extra.split() if args.clf_extra else []) + \
+                (["--cpu"] if args.cpu else [])
+            ph = Phase(f"single_{strategy}", cmd,
+                       out / f"single_{strategy}.log")
+            results[f"single_{strategy}"] = ph.run()
+            res_path.write_text(json.dumps(results, indent=1))
+
     if "unfrozen" in phases:
         cmd = base + ["src/train_classifier.py"] + common + [
             "--epochs", "2", "--k-folds", str(args.k_folds),
@@ -276,11 +303,11 @@ def main():
     if "analyze" in phases:
         cmd = base + ["src/analyze_results.py",
                       "--metrics-dir", str(out / "results/metrics"),
-                      "--figures-dir", str(out / "results/figures"),
                       "--analysis-dir", str(out / "results/analysis"),
                       "--data-dir", args.data_dir,
                       "--synthetic-dir", str(out / "synthetic"),
                       "--model-dir", str(out / "models")] + \
+            (args.analyze_extra.split() if args.analyze_extra else []) + \
             (["--cpu"] if args.cpu else [])
         ph = Phase("analyze", cmd, out / "analyze.log")
         results["analyze"] = ph.run()
@@ -291,10 +318,8 @@ def main():
         runner.write_text(
             "ARGV = ['analyze_results.py',"
             f" '--metrics-dir', {str(out / 'results/metrics')!r},"
-            f" '--figures-dir', {str(out / 'results/figures')!r},"
             f" '--analysis-dir', {str(out / 'results/ref_analysis')!r},"
-            " '--skip-ssim', '--skip-gradcam']\n"
-            f"SCRIPT = '/root/reference/src/analyze_results.py'\n"
+            " '--cpu', '--skip-ssim', '--skip-gradcam']\n"
             + REF_STUBS)
         ph = Phase("ref_analyze", base + [str(runner)],
                    out / "ref_analyze.log")
