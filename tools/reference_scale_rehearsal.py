@@ -66,7 +66,8 @@ class Phase:
         with open(self.log_path, "w") as log:
             proc = subprocess.Popen(
                 self.cmd, cwd=str(REPO), stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, text=True, bufsize=1)
+                stderr=subprocess.STDOUT, text=True, bufsize=1,
+                env={**os.environ, "PYTHONUNBUFFERED": "1"})
 
             def poll_rss():
                 while proc.poll() is None:
