@@ -25,9 +25,26 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from xgan.io_.checkpoint import check_leaf_shapes, save_variables
 from xgan.train.common import ModelState
+
+
+def _host_template(tree):
+    """Shape/dtype twin of a (possibly device-resident) state tree,
+    built WITHOUT any device->host transfer. Resume needs the template
+    only for its structure/shapes/dtypes (msgpack restore target +
+    shape check); ``jax.device_get`` of a full fg=64 224px train state
+    is ~400 MB, which over this environment's ~10 MB/s D2H relay
+    stalled reference-scale resume for 18 minutes and then aborted
+    with ResourceExhausted (r5 rehearsal finding). Zero-filled host
+    leaves carry the same restore semantics at zero transfer cost."""
+    def leaf(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return np.zeros(x.shape, x.dtype)
+        return x
+    return jax.tree_util.tree_map(leaf, tree)
 
 
 class AsyncWriter:
@@ -196,7 +213,7 @@ class SnapshotManager:
             raise FileNotFoundError(
                 f"snapshot {resume_from} not found (use --resume-from auto "
                 "to start fresh when no snapshot exists)")
-        like = {name: jax.device_get(st) for name, st in states.items()}
+        like = {name: _host_template(st) for name, st in states.items()}
         like["epoch"] = 0
         like["iters"] = 0
         from flax import serialization
